@@ -1,0 +1,137 @@
+"""End-to-end ranking goldens from the reference test suite.
+
+* TestSuggestAuto   — /root/reference/pkg/suggest/ngram_index_test.go:15-40
+* TestAutoComplete  — ngram_index_test.go:42-67
+* Example (Cosine)  — example_test.go:14-72
+* service_test set  — service_test.go:35-59 (Cosine α=0.7 over a cars corpus)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from suggest_spark.config import DEFAULT_CONFIG, ENGLISH_CONFIG
+from suggest_spark.functions.metrics import COSINE, JACCARD
+from suggest_spark.operators.indexing import build_ngram_index
+from suggest_spark.operators.suggest import autocomplete_firstk, suggest_topk
+
+CARS8 = [
+    "Nissan March",
+    "Nissan Juke",
+    "Nissan Maxima",
+    "Nissan Murano",
+    "Nissan Note",
+    "Toyota Mark II",
+    "Toyota Corolla",
+    "Toyota Corona",
+]
+
+
+@pytest.fixture(scope="module")
+def cars8_index(spark):
+    dictionary = spark.createDataFrame(list(enumerate(CARS8)), "doc_id long, value string")
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG).cache()
+    index.count()
+    return dictionary, index
+
+
+def _q(spark, text):
+    return spark.createDataFrame([(0, text)], "query_id long, query string")
+
+
+def test_suggest_auto_golden(spark, cars8_index):
+    # "Nissan ma", Jaccard, alpha=0.5, k=2 → doc keys [2, 0]
+    dictionary, index = cars8_index
+    rows = suggest_topk(index, _q(spark, "Nissan ma"), JACCARD, 0.5, 2, DEFAULT_CONFIG).collect()
+    assert [r["doc_id"] for r in rows] == [2, 0]
+
+
+def test_autocomplete_golden(spark, cars8_index):
+    # "Niss", k=5 → doc keys [0, 1, 2, 3, 4]
+    dictionary, index = cars8_index
+    rows = autocomplete_firstk(index, _q(spark, "Niss"), 5, DEFAULT_CONFIG).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_example_cosine_golden(spark):
+    # english+'$' alphabet config; "niss ma", Cosine, alpha=0.4, k=5
+    # → values [Nissan Maxima, Nissan March]
+    dictionary = spark.createDataFrame(list(enumerate(CARS8)), "doc_id long, value string")
+    index = build_ngram_index(dictionary, config=ENGLISH_CONFIG)
+    rows = suggest_topk(
+        index, _q(spark, "niss ma"), COSINE, 0.4, 5, ENGLISH_CONFIG, dictionary=dictionary
+    ).collect()
+    assert [r["value"] for r in rows] == ["Nissan Maxima", "Nissan March"]
+
+
+SERVICE_CARS = [
+    "NISSAN MARCH",
+    "NISSAN JUKE",
+    "NISSAN MAXIMA",
+    "NISSAN MURANO",
+    "NISSAN NOTE",
+    "NISSAN MICRA",
+    "TOYOTA MARK II",
+    "TOYOTA COROLLA",
+    "TOYOTA CORONA",
+    "HONDA FIT",
+    "HONDA CIVIC",
+    "HUMMER H1",
+]
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        ("Nissan March", ["NISSAN MARCH"]),
+        ("Honda Fitt", ["HONDA FIT"]),
+        ("Wolfsvagen", []),
+        ("Tayota Corolla", ["TOYOTA COROLLA"]),
+        ("Micra Nissan", ["NISSAN MICRA"]),
+    ],
+)
+def test_service_cosine_07(spark, query, expected):
+    # service_test.go:35-59 semantics: Cosine, alpha=0.7, k=5 — high-threshold
+    # matching over an uppercase car corpus (corpus synthesized per
+    # FIXTURES.md §2; the reference uses cars.dict which contains these rows)
+    dictionary = spark.createDataFrame(
+        list(enumerate(SERVICE_CARS)), "doc_id long, value string"
+    )
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG)
+    rows = suggest_topk(
+        index, _q(spark, query), COSINE, 0.7, 5, DEFAULT_CONFIG, dictionary=dictionary
+    ).collect()
+    assert [r["value"] for r in rows] == expected
+
+
+def test_suggest_batch_of_queries(spark, cars8_index):
+    # batching many queries through one plan must equal per-query runs
+    dictionary, index = cars8_index
+    queries = spark.createDataFrame(
+        [(0, "Nissan ma"), (1, "toyota c"), (2, "zzzz")],
+        "query_id long, query string",
+    )
+    rows = suggest_topk(index, queries, JACCARD, 0.5, 2, DEFAULT_CONFIG).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert by_q[0] == [2, 0]
+    assert 2 not in by_q or by_q.get(2) is None or len(by_q.get(2, [])) == 0
+
+
+def test_scores_match_reference_formula(spark, cars8_index):
+    dictionary, index = cars8_index
+    rows = suggest_topk(index, _q(spark, "Nissan ma"), JACCARD, 0.5, 2, DEFAULT_CONFIG).collect()
+    # |A|=9 grams for "$nissan ma$"; doc 2 "Nissan Maxima": check exact score
+    from suggest_spark.functions.analysis import tokenize
+    from suggest_spark.functions.metrics import JACCARD as J
+
+    a = tokenize("Nissan ma")
+    b = tokenize("Nissan Maxima")
+    # overlap = sum over terms of mult_a * mult_b (ScanCount semantics)
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    inter = sum(ca[t] * cb[t] for t in ca)
+    expected = J.similarity_py(inter, len(a), len(b))
+    assert rows[0]["doc_id"] == 2
+    assert abs(rows[0]["score"] - expected) < 1e-15
