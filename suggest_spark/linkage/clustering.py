@@ -1,0 +1,103 @@
+"""Transitive clustering: connected components via alternating
+large-star / small-star DataFrame rounds (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14 — converges in O(log² n)
+rounds; record-linkage graphs converge in a handful).
+
+Catalyst has no fixpoint operator (SURVEY.md §4), so the loop runs on the
+driver with ``localCheckpoint()`` per round to truncate lineage.  Node ids
+are orderable strings (md5 of url — deterministic across runs and
+parallelism levels), so cluster ids — the component-minimum id — are stable,
+satisfying the north rule's determinism/resumability requirement.
+
+Scale notes: both stars are expressed as a window-min plus a projection — no
+``collect_set`` (hub nodes mid-convergence can have huge degree; an array
+per node would blow executor memory where a running MIN cannot).  Each round
+is one shuffle per star on the same key; AQE coalesces the small tail
+rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("src"), F.col("dst"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u over the symmetric graph: connect every strictly
+    larger neighbor v to m = min(Γ(u) ∪ {u})."""
+    w = Window.partitionBy("src")
+    with_min = edges.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+    return (
+        with_min.where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Input edges oriented big→small (large-star output).  For each node u:
+    connect its smaller neighbors and u itself to m = min(neighbors)."""
+    w = Window.partitionBy("src")
+    with_min = edges.withColumn("m", F.min("dst").over(w))
+    moved = (
+        with_min.where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = with_min.select(F.col("src"), F.col("m").alias("dst")).distinct()
+    return moved.unionByName(self_edge).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) accumulation: overflow-proof under ANSI mode
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 30,
+    on_round=None,
+) -> DataFrame:
+    """``edges (src, dst)`` → ``(rid, cluster_id)`` for every node appearing
+    in an edge; ``cluster_id`` = minimum node id of the component.
+
+    ``on_round(i, n_edges)`` is an optional per-round metrics callback (used
+    by the checkpointing pipeline for lineage/metrics manifests).
+    """
+    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    prev_fp = None
+    for i in range(max_iterations):
+        ls = _large_star(cur)
+        ss = _small_star(ls)
+        cur = _symmetrize(ss).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if on_round is not None:
+            on_round(i, fp[0])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+    # converged: the symmetric edge set is a star forest rooted at minima
+    assignments = cur.where(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("rid"), F.col("dst").alias("cluster_id")
+    )
+    roots = (
+        assignments.select(F.col("cluster_id").alias("rid"))
+        .distinct()
+        .withColumn("cluster_id", F.col("rid"))
+    )
+    return assignments.unionByName(roots).distinct()
