@@ -1,38 +1,671 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fuzzy top-k suggest query at sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Every computed column is aliased identically on both sides; doubles produced
+by non-order-deterministic aggregation are rounded inside the query on both
+sides; doubles produced by order-deterministic folds are bit-identical by
+construction (explicit left folds + casts mirrored in the SQL).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from suggest_spark.config import DEFAULT_CONFIG
+from suggest_spark.functions import text as T
+from suggest_spark.functions.analysis import duckdb_terms_sql
+from suggest_spark.functions.metrics import COSINE, JACCARD, Metric
+from suggest_spark.operators import ann, dedup
+from suggest_spark.operators.indexing import build_ngram_index, with_terms
+from suggest_spark.operators.suggest import autocomplete_firstk, suggest_topk
+
+CFG = DEFAULT_CONFIG
+
+# fixed query literals (misspellings of part-name vocabulary)
+SUGGEST_LITERALS = [
+    (0, "smal ring"),
+    (1, "red widgt"),
+    (2, "blu bolt"),
+    (3, "hot gaer"),
+    (4, "small gizmmo"),
+    (5, "zzzz qqqq"),
+]
+AUTOCOMPLETE_LITERALS = [(0, "small"), (1, "red w"), (2, "blue")]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _part_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("doc_id"), F.col("p_name").alias("value")
+    )
+
+
+def _literals_df(spark: SparkSession, literals) -> DataFrame:
+    return spark.createDataFrame(literals, "query_id long, query string")
+
+
+def _values_sql(literals) -> str:
+    rows = ", ".join(f"({i}, '{q}')" for i, q in literals)
+    return f"(VALUES {rows}) AS _q(query_id, query)"
+
+
+# ---------------------------------------------------------------------------
+# suggest-engine queries
+# ---------------------------------------------------------------------------
+
+
+def q_suggest(metric: Metric, alpha: float, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dictionary = _part_dictionary(spark, sf_dir)
+        index = build_ngram_index(dictionary, config=CFG)
+        out = suggest_topk(index, _literals_df(spark, SUGGEST_LITERALS), metric, alpha, k, CFG)
+        return out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    return run
+
+
+def sql_suggest(metric: Metric, alpha: float, k: int) -> str:
+    terms_v = duckdb_terms_sql("value", CFG)
+    terms_q = duckdb_terms_sql("query", CFG)
+    min_b = metric.min_y_sql(alpha, "q.size_a")
+    max_b = metric.max_y_sql(alpha, "q.size_a")
+    thr = metric.threshold_sql(alpha, "size_a", "size")
+    sim = metric.similarity_sql("overlap", "size_a", "size")
+    return f"""
+WITH dict AS (SELECT p_partkey AS doc_id, p_name AS value FROM part),
+toks AS (SELECT doc_id, unnest({terms_v}) AS term FROM dict),
+sized AS (SELECT doc_id, count(*) AS size FROM toks GROUP BY doc_id),
+queries AS (SELECT query_id, query FROM {_values_sql(SUGGEST_LITERALS)}),
+qtoks AS (SELECT query_id, unnest({terms_q}) AS term FROM queries),
+qsized AS (SELECT query_id, count(*) AS size_a FROM qtoks GROUP BY query_id),
+joined AS (
+  SELECT q.query_id, q.size_a, t.doc_id, s.size, count(*) AS overlap
+  FROM (SELECT qt.query_id, qs.size_a, qt.term
+        FROM qtoks qt JOIN qsized qs USING (query_id)) q
+  JOIN toks t ON t.term = q.term
+  JOIN sized s ON s.doc_id = t.doc_id
+  WHERE s.size BETWEEN {min_b} AND {max_b}
+  GROUP BY 1, 2, 3, 4
+),
+cand AS (SELECT query_id, doc_id, size_a, size, overlap, {thr} AS t FROM joined),
+scored AS (
+  SELECT query_id, doc_id, {sim} AS score
+  FROM cand WHERE t >= 1 AND t <= size_a AND t <= size AND overlap >= t
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_autocomplete(k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dictionary = _part_dictionary(spark, sf_dir)
+        index = build_ngram_index(dictionary, config=CFG)
+        return autocomplete_firstk(index, _literals_df(spark, AUTOCOMPLETE_LITERALS), k, CFG)
+
+    return run
+
+
+def sql_autocomplete(k: int) -> str:
+    terms_v = duckdb_terms_sql("value", CFG)
+    # head-only wrap: emulate by wrapping with '' tail
+    from suggest_spark.config import IndexConfig
+
+    head_cfg = IndexConfig(
+        ngram_size=CFG.ngram_size, pad=CFG.pad, wrap=(CFG.wrap[0], ""), alphabet=CFG.alphabet
+    )
+    terms_q = duckdb_terms_sql("query", head_cfg)
+    return f"""
+WITH dict AS (SELECT p_partkey AS doc_id, p_name AS value FROM part),
+toks AS (SELECT doc_id, unnest({terms_v}) AS term FROM dict),
+sized AS (SELECT doc_id, count(*) AS size FROM toks GROUP BY doc_id),
+queries AS (SELECT query_id, query FROM {_values_sql(AUTOCOMPLETE_LITERALS)}),
+qtoks AS (SELECT query_id, query, unnest({terms_q}) AS term FROM queries),
+qsized AS (SELECT query_id, count(*) AS size_a FROM qtoks GROUP BY query_id),
+matched AS (
+  SELECT q.query_id, q.query, t.doc_id
+  FROM (SELECT qt.query_id, qt.query, qs.size_a, qt.term
+        FROM qtoks qt JOIN qsized qs USING (query_id)) q
+  JOIN toks t ON t.term = q.term
+  JOIN sized s ON s.doc_id = t.doc_id AND s.size >= q.size_a
+  GROUP BY q.query_id, q.query, q.size_a, t.doc_id
+  HAVING count(*) >= q.size_a
+),
+ranked AS (
+  SELECT query_id, query, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+  FROM matched
+)
+SELECT query_id, query, doc_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dictionary = _part_dictionary(spark, sf_dir).where(F.col("doc_id") < 200)
+    return build_ngram_index(dictionary, config=CFG).select("doc_id", "size", "term")
+
+
+SQL_INDEX_BUILD = f"""
+WITH dict AS (SELECT p_partkey AS doc_id, p_name AS value FROM part WHERE p_partkey < 200),
+toks AS (SELECT doc_id, unnest({duckdb_terms_sql('value', CFG)}) AS term FROM dict),
+sized AS (SELECT doc_id, count(*) AS size FROM toks GROUP BY doc_id)
+SELECT t.doc_id, CAST(s.size AS INT) AS size, t.term
+FROM toks t JOIN sized s USING (doc_id)
+"""
+
+
+def q_selfjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join (near-dup part names): the blocking+scoring
+    semantics as one pure-SQL-expressible plan (T-occurrence count filter
+    over a corpus self-join)."""
+    dictionary = _part_dictionary(spark, sf_dir).where(F.col("doc_id") < 500)
+    toks = with_terms(dictionary, "value", CFG).select(
+        "doc_id", "size", F.explode("terms").alias("term")
+    )
+    a = toks.select(
+        F.col("term"), F.col("doc_id").alias("id_a"), F.col("size").alias("size_a")
+    )
+    b = toks.select(
+        F.col("term"), F.col("doc_id").alias("id_b"), F.col("size").alias("size_b")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("overlap"))
+    )
+    sim = JACCARD.similarity(F.col("overlap"), F.col("size_a"), F.col("size_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
+SQL_SELFJOIN_JACCARD = f"""
+WITH dict AS (SELECT p_partkey AS doc_id, p_name AS value FROM part WHERE p_partkey < 500),
+toks0 AS (SELECT doc_id, unnest({duckdb_terms_sql('value', CFG)}) AS term FROM dict),
+sized AS (SELECT doc_id, count(*) AS size FROM toks0 GROUP BY doc_id),
+toks AS (SELECT t.doc_id, s.size, t.term FROM toks0 t JOIN sized s USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.size AS size_a, b.size AS size_b,
+         count(*) AS overlap
+  FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round({JACCARD.similarity_sql('overlap', 'size_a', 'size_b')}, 6) AS jaccard
+FROM pairs
+WHERE round({JACCARD.similarity_sql('overlap', 'size_a', 'size_b')}, 6) >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents corpus, deterministically augmented with copies)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id+100000) of every 10th doc."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_SQL_DOCS_WITH_COPIES = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def _docs_with_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (doc_id+100000) of every 7th doc, with the
+    last word dropped (lowercased normalized text both branches)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != "")
+    base = docs.select("doc_id", F.array_join(words, " ").alias("text"))
+    near = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    return base.unionByName(near)
+
+
+_SQL_WORDS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w != '')"
+_SQL_DOCS_WITH_NEAR_COPIES = f"""
+docs AS (
+  SELECT doc_id, array_to_string({_SQL_WORDS}, ' ') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_SQL_WORDS})[1:len({_SQL_WORDS}) - 1], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs_with_copies(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {_SQL_DOCS_WITH_COPIES},
+hashed AS (SELECT doc_id, md5(text) AS text_hash FROM docs)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id, text_hash
+FROM hashed
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_near_copies(spark, sf_dir).withColumn(
+        "shingles", dedup.shingle_words(F.col("text"), 5)
+    )
+    return dedup.minhash_lsh_pairs(docs, n_hashes=8, band_size=2)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_DOCS_WITH_NEAR_COPIES},
+sh AS (SELECT doc_id, {dedup.duckdb_shingles_sql('text', 5)} AS shingles FROM docs),
+sig AS (SELECT doc_id, {dedup.duckdb_minhash_sql('shingles', 8)} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, unnest([CAST(b AS VARCHAR) || '|' || sig[2*b+1] || '|' || sig[2*b+2]
+                         for b in range(0, 4)]) AS bucket
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_near_copies(spark, sf_dir).withColumn(
+        "shingles", dedup.shingle_words(F.col("text"), 5)
+    )
+    out = dedup.jaccard_near_dup_pairs(docs, 0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SQL_DOCS_WITH_NEAR_COPIES},
+sh AS (SELECT doc_id, {dedup.duckdb_shingles_sql('text', 5)} AS shingles FROM docs),
+ex AS (SELECT doc_id AS id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .withColumn("shingles", dedup.shingle_words(F.col("text"), 3))
+    )
+    return docs.select("doc_id", dedup.simhash32(F.col("shingles")).alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id, {dedup.duckdb_shingles_sql('text', 3)} AS shingles FROM docs)
+SELECT doc_id, {dedup.duckdb_simhash_sql('shingles')} AS simhash FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    out = ann.cosine_topk(queries, emb, 5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        _SQL_DOT.format(a=a, b=b)
+        + " / ("
+        + _SQL_NORM.format(a=a)
+        + " * "
+        + _SQL_NORM.format(a=b)
+        + ")"
+    )
+
+
+SQL_ANN_COSINE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.nid, {_sql_cosine('q.qv', 'c.nv')} AS cos
+  FROM q JOIN c ON q.query_id != c.nid
+),
+ranked AS (
+  SELECT query_id, nid, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nid AS neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    out = ann.signlsh_topk(queries, emb, 5, n_planes=4, dim=64, seed=42)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def sql_ann_signlsh() -> str:
+    planes = ann.make_sign_planes(4, 64, seed=42)
+    bucket_q = ann.duckdb_sign_bucket_sql("qv", planes)
+    bucket_c = ann.duckdb_sign_bucket_sql("nv", planes)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+qb AS (SELECT query_id, qv, {bucket_q} AS bucket FROM q),
+cb AS (SELECT nid, nv, {bucket_c} AS bucket FROM c),
+scored AS (
+  SELECT qb.query_id, cb.nid, {_sql_cosine('qb.qv', 'cb.nv')} AS cos
+  FROM qb JOIN cb USING (bucket) WHERE qb.query_id != cb.nid
+),
+ranked AS (
+  SELECT query_id, nid, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nid AS neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.predicted_lang(F.col("text")).alias("pred_lang"))
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, {T.duckdb_predicted_lang_sql('text')} AS pred_lang FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+SQL_QUALITY = (
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {n}" for n, e in T.duckdb_quality_sql("text").items())
+    + " FROM documents"
+)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    cnts = T.token_counts(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cnts.items()])
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {n}" for n, e in T.duckdb_token_counts_sql("text").items())
+    + " FROM documents"
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "shingles", dedup.shingle_words(F.col("text"), 5)
+    )
+    return docs.select("doc_id", T.fingerprint_bottom_k(F.col("shingles"), 4).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+WITH sh AS (SELECT doc_id, {dedup.duckdb_shingles_sql('text', 5)} AS shingles FROM documents)
+SELECT doc_id, {T.duckdb_fingerprint_sql('shingles', 4)} AS fingerprint FROM sh
+"""
+
+
+def q_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram counts with <s>/</s> sentence wrap (reference LM build
+    semantics, pkg/lm/ngram_builder.go:19-39)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != "")
+    wrapped = F.concat(F.array(F.lit("<s>")), words, F.array(F.lit("</s>")))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(wrapped) - 1),
+        lambda i: F.concat(
+            F.element_at(wrapped, i), F.lit(" "), F.element_at(wrapped, i + 1)
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_LM_BIGRAMS = f"""
+WITH w AS (SELECT ['<s>'] || {_SQL_WORDS} || ['</s>'] AS ws FROM documents),
+bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram FROM w)
+SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (aggregation / window / join mappings)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8)))
+            AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+SQL_CUSTOMER_NATION = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: fuzzy top-k suggest."""
+    return q_suggest(JACCARD, 0.5, 5)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "suggest_jaccard_topk": q_suggest(JACCARD, 0.5, 5),
+        "suggest_cosine_topk": q_suggest(COSINE, 0.4, 5),
+        "autocomplete_firstk": q_autocomplete(5),
+        "ngram_index_build": q_index_build,
+        "selfjoin_jaccard": q_selfjoin_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_jaccard_shingles": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_signlsh_topk": q_ann_signlsh,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_fingerprint,
+        "lm_bigram_counts": q_lm_bigrams,
+        "agg_pricing_summary": q_pricing_summary,
+        "window_top_orders": q_top_orders,
+        "join_customer_nation": q_customer_nation,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "suggest_jaccard_topk": sql_suggest(JACCARD, 0.5, 5),
+        "suggest_cosine_topk": sql_suggest(COSINE, 0.4, 5),
+        "autocomplete_firstk": sql_autocomplete(5),
+        "ngram_index_build": SQL_INDEX_BUILD,
+        "selfjoin_jaccard": SQL_SELFJOIN_JACCARD,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_jaccard_shingles": SQL_DEDUP_JACCARD,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_signlsh_topk": sql_ann_signlsh(),
+        "lang_id": SQL_LANG_ID,
+        "quality_score": SQL_QUALITY,
+        "token_count": SQL_TOKEN_COUNT,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "lm_bigram_counts": SQL_LM_BIGRAMS,
+        "agg_pricing_summary": SQL_PRICING_SUMMARY,
+        "window_top_orders": SQL_TOP_ORDERS,
+        "join_customer_nation": SQL_CUSTOMER_NATION,
+        "events_hourly": SQL_EVENTS_HOURLY,
+    }

@@ -151,7 +151,7 @@ def duckdb_terms_sql(text_expr: str, config: IndexConfig = DEFAULT_CONFIG) -> st
     wrapped = f"lower('{start}' || {text_expr} || '{end}')"
     return (
         f"list_transform("
-        f"  CASE WHEN octet_length({wrapped}) < {n} THEN []::VARCHAR[]"
+        f"  CASE WHEN strlen({wrapped}) < {n} THEN []::VARCHAR[]"
         f"       WHEN length({wrapped}) <= {n} THEN [{wrapped}]"
         f"       ELSE list_distinct([substring({wrapped}, i, {n})"
         f"             for i in range(1, length({wrapped}) - {n} + 2)]) END,"

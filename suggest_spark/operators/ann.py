@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+* ``cosine_topk``      — exact brute-force top-k (the correctness baseline):
+                         query×corpus join, JVM-side dot product via
+                         ``F.zip_with`` + ``F.aggregate`` (no Python), window
+                         top-k.  O(Q×N) — for bounded query batches.
+* ``signlsh_topk``     — random-hyperplane (sign) LSH bucketing: candidates
+                         share a bucket of concatenated projection signs;
+                         exact cosine re-rank within candidates.  The scale
+                         path: buckets shrink the join from Q×N to Q×N/2^p.
+                         The ±1 projection matrix is generated from a seeded
+                         RNG at plan-build time and inlined as literals, so
+                         any engine (and the DuckDB oracle) reproduces the
+                         exact same buckets.
+
+At true 100 TB scale the bucket join inherits all the skew machinery of the
+blocking stage (AQE skew join; bucket-size caps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Queries are broadcast (bounded batch); the corpus streams — one pass,
+    no shuffle of the corpus.  Ties broken by ascending neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("nid"), F.col(vec).alias("nv"))
+    scored = q.join(c, F.col("qid") != F.col("nid")).select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def make_sign_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (inlined as literals so external
+    oracles can reproduce bucket assignment exactly)."""
+    rng = np.random.RandomState(seed)
+    return [[1.0 if v else -1.0 for v in (rng.rand(dim) < 0.5)] for _ in range(n_planes)]
+
+
+def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Concatenated '0'/'1' signs of the plane projections."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(v) for v in plane])) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def duckdb_sign_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    bits = []
+    for plane in planes:
+        lits = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + "]"
+        s = (
+            f"list_sum(list_transform(range(1, {len(plane) + 1}), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lits})[i]))"
+        )
+        bits.append(f"(CASE WHEN {s} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def signlsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    planes = make_sign_planes(n_planes, dim, seed)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec).alias("qv"),
+            sign_bucket(F.col(vec), planes).alias("bucket"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(vec).alias("nv"),
+        sign_bucket(F.col(vec), planes).alias("bucket"),
+    )
+    scored = q.join(c, "bucket").where(F.col("qid") != F.col("nid")).select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
