@@ -1,0 +1,160 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workloads (all on $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1,
+master local[$SPARK_GRAFT_CPUS]):
+
+* linkage_e2e      — synthetic pages (scaled to sf) through blocking →
+                     scoring → clustering; throughput = candidate pairs/sec.
+* suggest_topk     — 200-query fuzzy top-5 batch over the part dictionary.
+* dedup_minhash    — MinHash-LSH near-dup pairs over documents.
+* ann_cosine       — brute-force cosine top-5, 100 query vectors.
+* text_stats       — language ID + quality + token counts over documents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from suggest_spark.config import DEFAULT_CONFIG
+from suggest_spark.functions import text as T
+from suggest_spark.functions.metrics import JACCARD
+from suggest_spark.linkage.pipeline import LinkageConfig, run_linkage
+from suggest_spark.operators import ann, dedup
+from suggest_spark.operators.indexing import build_ngram_index
+from suggest_spark.operators.suggest import suggest_topk
+from suggest_spark.plans.session import get_spark
+from suggest_spark.sources.synth import make_pages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def _misspell(rng: np.random.RandomState, s: str) -> str:
+    chars = list(s)
+    i = rng.randint(1, max(2, len(chars) - 1))
+    op = rng.randint(3)
+    if op == 0:
+        chars[i] = "abcdefghijklmnopqrstuvwxyz"[rng.randint(26)]
+    elif op == 1:
+        del chars[i]
+    else:
+        chars[i], chars[i - 1] = chars[i - 1], chars[i]
+    return "".join(chars)
+
+
+def main() -> None:
+    sf = _sf(SF_DIR)
+    spark = get_spark(app_name="suggest_spark_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- linkage end-to-end -------------------------------------------------
+    n_entities = max(200, int(sf * 80_000))
+    pages = make_pages(spark, n_entities, dup_rate=1.5, seed=42, partitions=int(CPUS) * 2)
+    pages = pages.persist()
+    n_pages = pages.count()
+
+    cp_dir = tempfile.mkdtemp(prefix="bench_linkage_")
+    t0 = time.time()
+    res = run_linkage(spark, pages, LinkageConfig(metric=JACCARD, alpha=0.7), cp_dir)
+    n_pairs = res["pairs"].count()
+    n_matches = res["matches"].count()
+    n_clusters = res["clusters"].select("cluster_id").distinct().count()
+    timings["linkage_e2e"] = round(time.time() - t0, 3)
+    stage_secs = {
+        e["stage"]: e.get("wall_sec", 0.0) for e in res["_pipeline"].events
+    }
+    block_score_sec = stage_secs.get("pairs", 0) + stage_secs.get("matches", 0)
+    extra["linkage_pages"] = n_pages
+    extra["linkage_candidate_pairs"] = n_pairs
+    extra["linkage_matches"] = n_matches
+    extra["linkage_clusters"] = n_clusters
+    extra["candidate_pairs_per_sec"] = round(n_pairs / max(block_score_sec, 1e-9), 1)
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    pages.unpersist()
+
+    # ---- suggest batch ------------------------------------------------------
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    dictionary = part.select(
+        F.col("p_partkey").cast("long").alias("doc_id"), F.col("p_name").alias("value")
+    ).persist()
+    names = [r["value"] for r in dictionary.limit(400).collect()]
+    rng = np.random.RandomState(7)
+    queries = spark.createDataFrame(
+        [(i, _misspell(rng, names[i % len(names)])) for i in range(200)],
+        "query_id long, query string",
+    )
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG).persist()
+    index.count()
+    t0 = time.time()
+    n_sugg = suggest_topk(index, queries, JACCARD, 0.5, 5, DEFAULT_CONFIG).count()
+    timings["suggest_topk"] = round(time.time() - t0, 3)
+    extra["suggest_results"] = n_sugg
+    extra["suggest_queries_per_sec"] = round(200 / max(timings["suggest_topk"], 1e-9), 1)
+    index.unpersist()
+    dictionary.unpersist()
+
+    # ---- minhash dedup ------------------------------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    with_sh = docs.withColumn("shingles", dedup.shingle_words(F.col("text"), 5))
+    t0 = time.time()
+    n_dup = dedup.minhash_lsh_pairs(with_sh, n_hashes=8, band_size=2).count()
+    timings["dedup_minhash"] = round(time.time() - t0, 3)
+    extra["dedup_candidates"] = n_dup
+
+    # ---- ann brute force ----------------------------------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 100).withColumnRenamed("vec_id", "query_id")
+    t0 = time.time()
+    n_ann = ann.cosine_topk(q, emb, 5).count()
+    timings["ann_cosine"] = round(time.time() - t0, 3)
+    extra["ann_results"] = n_ann
+
+    # ---- text stats ---------------------------------------------------------
+    t0 = time.time()
+    feats = T.quality_features(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        T.predicted_lang(F.col("text")).alias("lang"),
+        *[c.alias(n) for n, c in feats.items()],
+        *[c.alias(n) for n, c in T.token_counts(F.col("text")).items()],
+    )
+    stats.write.format("noop").mode("overwrite").save()
+    timings["text_stats"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "detail": extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol).
+
+Runs the identical linkage job (blocking + pairwise scoring + clustering)
+on the identical deterministic input at two parallelism levels — local[8]
+(N) and local[32] (4N), the sandbox proxy for N vs 4N executors — in
+separate fresh processes, then reports:
+
+    efficiency = (T_8 / T_32) / 4      (pass >= 0.8)
+
+plus per-stage wall times, candidate-pairs/sec at both levels, and skew
+stats (max/median shuffle-partition row counts of the pair stage).
+
+Usage:
+    python bench_scaling.py                  # orchestrates both runs, writes
+                                             # bench_out/SCALING.json + md
+    python bench_scaling.py --single 8       # one measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from datetime import date
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ENTITIES = int(os.environ.get("SCALING_ENTITIES", "40000"))
+ALPHA = 0.7
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+
+
+def run_single(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from suggest_spark.functions.metrics import JACCARD
+    from suggest_spark.linkage.blocking import candidate_pairs
+    from suggest_spark.linkage.clustering import connected_components
+    from suggest_spark.linkage.pipeline import LinkageConfig, build_records
+    from suggest_spark.linkage.scoring import score_pairs
+    from suggest_spark.plans.session import get_spark
+    from suggest_spark.sources.synth import make_pages
+
+    # identical plan at both parallelism levels: same shuffle partitioning,
+    # only the executor-thread count differs (the N vs 4N proxy)
+    spark = get_spark(
+        app_name=f"scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = make_pages(spark, N_ENTITIES, dup_rate=1.5, seed=42, partitions=64)
+    cfg = LinkageConfig(metric=JACCARD, alpha=ALPHA)
+    records = build_records(pages, cfg).persist()
+    n_records = records.count()  # materialize input before the clock starts
+
+    t0 = time.time()
+    pairs = candidate_pairs(records, cfg.metric, cfg.alpha).persist()
+    n_pairs = pairs.count()
+    t_block = time.time() - t0
+
+    # skew stats: rows per shuffle partition of the pair stage
+    from pyspark.sql.functions import spark_partition_id
+
+    part_rows = sorted(
+        r["cnt"]
+        for r in pairs.groupBy(spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    skew = {
+        "partitions": len(part_rows),
+        "max_rows": part_rows[-1] if part_rows else 0,
+        "median_rows": part_rows[len(part_rows) // 2] if part_rows else 0,
+    }
+
+    t0 = time.time()
+    matches = score_pairs(pairs, records, cfg.metric, cfg.alpha).persist()
+    n_matches = matches.count()
+    t_score = time.time() - t0
+
+    t0 = time.time()
+    edges = matches.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
+    n_assigned = connected_components(edges).count()
+    t_cluster = time.time() - t0
+
+    result = {
+        "cores": cores,
+        "n_records": n_records,
+        "n_pairs": n_pairs,
+        "n_matches": n_matches,
+        "n_assigned": n_assigned,
+        "t_block": round(t_block, 3),
+        "t_score": round(t_score, 3),
+        "t_cluster": round(t_cluster, 3),
+        "t_total": round(t_block + t_score + t_cluster, 3),
+        "pairs_per_sec": round(n_pairs / (t_block + t_score), 1),
+        "skew": skew,
+        "conf": {
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "skew_join": spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
+        },
+    }
+    print("RESULT " + json.dumps(result))
+    spark.stop()
+
+
+def orchestrate() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:])
+            print(proc.stderr[-3000:])
+            raise RuntimeError(f"run cores={cores} produced no RESULT line")
+        results[cores] = json.loads(line[-1][len("RESULT "):])
+
+    t8, t32 = results[8]["t_total"], results[32]["t_total"]
+    efficiency = round((t8 / t32) / 4.0, 3)
+    report = {
+        "date": str(date.today()),
+        "n_entities": N_ENTITIES,
+        "alpha": ALPHA,
+        "runs": results,
+        "efficiency_8_to_32": efficiency,
+        "pass_0_8": efficiency >= 0.8,
+    }
+    with open(os.path.join(OUT_DIR, "SCALING.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--single":
+        run_single(int(sys.argv[2]))
+    else:
+        orchestrate()

@@ -1,28 +1,38 @@
-"""Prefix-filtered n-gram signature blocking.
+"""Prefix-filtered n-gram signature blocking, multiset-exact.
 
 Distributed generalization of the reference's CPMerge prefix idea
 (/root/reference/pkg/merger/cp_merge.go:19-120: only the ``N−T+1`` shortest
-posting lists can introduce a candidate; a candidate abandoned when
-``overlap + remaining < T``).  In self-join form this is the classic prefix
-filter: order each record's distinct grams by global rarity; any pair with
-similarity >= alpha MUST share a gram within each side's first
-``L − minOverlap(alpha, L) + 1`` grams, where ``minOverlap = metric.min_y``
-(for every reference metric, min_y(alpha, |A|) is a valid lower bound on the
-required overlap given the length filter: Jaccard ⌈αA⌉, Cosine ⌈α²A⌉,
-Dice ⌈α/(2−α)·A⌉ — cf. pkg/metric/*.go:12-22).
+posting lists can introduce a candidate).  In self-join form this is the
+prefix filter; our match predicate, however, is the REFERENCE's similarity,
+whose overlap is the multiset product Σ_t mult_a(t)·mult_b(t)
+(pkg/merger/scan_count.go:55-80 counts one increment per occurrence per
+list), so the classic set-based prefix/positional bounds are NOT sound as-is.
+This module uses multiplicity-aware bounds that are exact for the product
+overlap and degrade gracefully to the classic bounds when every multiplicity
+is 1 (the common case):
 
-Skew strategy (SURVEY.md §4, north-rule mandate):
-* rare-first prefix ordering keeps hot shingles ("$th", "he ") OUT of
-  prefixes unless a record consists almost entirely of hot grams — the
-  primary, recall-safe defuse;
-* AQE skew-join splitting is enabled by the session factory for the residual
-  self-join skew;
-* an optional hard df cap drops super-hot blocking keys entirely (recall
-  trade-off is logged, never silent).
+* A pair can match only if overlap_m >= R_a := min_y(alpha, msize_a)
+  (valid for every reference metric given its own length filter,
+  pkg/metric/*.go:12-22).
+* Duplicate excess is bounded ADDITIVELY: with Δ_b = msize_b − set_size_b
+  (B's total excess multiplicity) and κ_a = A's max multiplicity,
+  Σ_s m_a(s)·m_b(s) = Σ_s m_a(s) + Σ_s m_a(s)(m_b(s)−1)
+                    <= mass_a(S) + κ_a·Δ_b           for any gram set S.
+* Prefix: if every shared gram of A lies strictly after A's prefix,
+  overlap_m <= tailafter_a + κ_a·Δ_max ⇒ keep rarity rank p iff
+  tail_mass(p) + κ_a·Δ_max >= R_a — the classic prefix plus at most Δ_max
+  extra tokens (Δ_max is a tiny corpus constant, 0 for duplicate-free data).
+* Positional filter (PPJoin, Xiao et al. WWW'08, multiset form): a shared
+  prefix gram at ranks (p_a, p_b) bounds
+  overlap_m <= min(tmass_a + κ_a·Δ_b, tmass_b + κ_b·Δ_a);
+  the pair survives only if some shared prefix gram's bound reaches the
+  pairwise threshold T(alpha, msize_a, msize_b).
 
-Blocking uses SET semantics (distinct grams): duplicate normalized grams add
-no blocking power.  Pair SCORING (scoring.py) re-computes exact multiset
-overlap, so this does not affect score parity.
+Skew strategy (SURVEY.md §4, north-rule mandate): rare-first prefix ordering
+keeps hot shingles out of blocking keys unless a record consists almost
+entirely of hot grams; AQE skew-join splitting (session default) handles the
+residual self-join skew; an optional hard df cap drops super-hot keys
+entirely (logged, never silent — recall trade-off documented at call site).
 """
 
 from __future__ import annotations
@@ -34,17 +44,24 @@ from ..functions.metrics import Metric
 
 
 def gram_document_frequency(records: DataFrame) -> DataFrame:
-    """Global document frequency per distinct gram.
-
-    ``records`` must have ``rid`` and ``terms array<string>``; one shuffle
-    (partial-aggregated count).  At 100 TB this table is ~|alphabet|^n rows —
-    tiny relative to the corpus — and is broadcast back to the prefix join.
-    """
+    """Global document frequency per distinct gram (one partial-aggregated
+    shuffle; the result is tiny relative to the corpus and is broadcast)."""
     return (
         records.select(F.explode(F.array_distinct("terms")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+
+
+def max_excess(records: DataFrame) -> int:
+    """Global maximum duplicate excess Δ_max = max over records of
+    msize − set_size (0 unless distinct raw grams normalize to the same
+    padded gram, e.g. a text starting with the same bigram it repeats
+    mid-string)."""
+    row = records.select(
+        F.max(F.size("terms") - F.size(F.array_distinct("terms"))).alias("d")
+    ).first()
+    return int(row["d"] or 0)
 
 
 def prefix_keys(
@@ -53,37 +70,71 @@ def prefix_keys(
     alpha: float,
     term_df: DataFrame | None = None,
     df_cap: int | None = None,
+    delta_max: int | None = None,
 ) -> DataFrame:
-    """``(term, rid, size)`` blocking keys: each record's rarest
-    ``set_size − min_y(alpha, set_size) + 1`` distinct grams.
+    """``(term, rid, msize, kappa, delta, tmass)`` blocking keys.
 
-    ``set_size`` is the DISTINCT gram count (blocking is set-based); scoring
-    recomputes exact reference multiset semantics downstream.
+    ``tmass`` is the multiset mass of the record's rarity-ordered suffix
+    starting at (and including) this gram; ``kappa``/``delta`` the record's
+    max multiplicity and duplicate excess.  Rank p is kept iff
+    tmass(p) + κ_rec·Δ_max >= min_y(alpha, msize).
     """
     if term_df is None:
         term_df = gram_document_frequency(records)
+    if delta_max is None:
+        delta_max = max_excess(records)
 
+    # ONE shuffle total: explode the multiset, broadcast-join the df table,
+    # regroup per record; everything else (rarity sort, multiplicities,
+    # suffix masses, prefix cut) happens array-side inside the row — no
+    # window functions, no second shuffle.  At 100 TB this is the difference
+    # between 1 and 3 full-corpus shuffles in the blocking stage.
     exploded = records.select(
-        "rid",
-        F.size("terms").alias("msize"),  # multiset cardinality (reference "size")
-        F.size(F.array_distinct("terms")).alias("set_size"),
-        F.explode(F.array_distinct("terms")).alias("term"),
+        "rid", F.size("terms").alias("msize"), F.explode("terms").alias("term")
     )
-
     with_df = exploded.join(F.broadcast(term_df), "term", "inner")
     if df_cap is not None:
         with_df = with_df.where(F.col("df") <= df_cap)
 
-    w = Window.partitionBy("rid").orderBy(F.asc("df"), F.asc("term"))
-    prefix_len = F.col("set_size") - metric.min_y(alpha, F.col("set_size")) + F.lit(1)
+    gathered = with_df.groupBy("rid", "msize").agg(
+        F.array_sort(F.collect_list(F.struct("df", "term"))).alias("s")
+    )
 
-    # The length filter downstream uses the reference's MULTISET cardinality
-    # (pkg/index/indexer_writer.go:66-86 groups by len(terms) incl. duplicate
-    # normalized grams); the prefix is over DISTINCT grams.
-    return (
-        with_df.withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= prefix_len)
-        .select("term", "rid", F.col("msize").alias("size"))
+    n = F.size("s")
+    n_distinct = F.size(F.array_distinct(F.transform("s", lambda x: x["term"])))
+    # delta = total duplicate excess; kappa <= delta + 1 (sound overestimate)
+    gathered = gathered.withColumn("delta", (n - n_distinct).cast("int")).withColumn(
+        "kappa", F.col("delta") + F.lit(1)
+    )
+
+    r_min = metric.min_y(alpha, F.col("msize"))
+    # first occurrence of each distinct term in rarity order (equal terms are
+    # adjacent after the (df, term) sort); tmass = multiset mass from here on
+    entries = F.transform(
+        "s",
+        lambda x, i: F.struct(
+            x["term"].alias("term"),
+            (n - i).cast("int").alias("tmass"),
+            ((i == F.lit(0)) | (x["term"] != F.get("s", i - 1)["term"])).alias(
+                "is_first"
+            ),
+        ),
+    )
+    kept = F.filter(
+        entries,
+        lambda e: e["is_first"]
+        & (e["tmass"] + F.col("kappa") * F.lit(delta_max) >= r_min),
+    )
+
+    return gathered.select(
+        "rid", "msize", "kappa", "delta", F.explode(kept).alias("e")
+    ).select(
+        F.col("e")["term"].alias("term"),
+        "rid",
+        "msize",
+        "kappa",
+        "delta",
+        F.col("e")["tmass"].alias("tmass"),
     )
 
 
@@ -94,15 +145,9 @@ def candidate_pairs(
     df_cap: int | None = None,
     max_block_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate ``(rid_a, rid_b)`` pairs (rid_a < rid_b) sharing a
-    prefix gram, with the length filter ``size_b BETWEEN min_y(size_a) AND
-    max_y(size_a)`` applied at pair-generation time (the reference's
-    LengthFilter, pkg/suggest/suggester.go:53-59, as a join predicate).
-
-    ``max_block_size`` optionally drops blocks bigger than the cap (count and
-    identity of dropped blocks are returned via the ``_dropped_blocks``
-    attribute for reporting — never silent).
-    """
+    """Distinct candidate ``(rid_a, rid_b)`` (rid_a < rid_b) surviving the
+    length filter (reference LengthFilter, pkg/suggest/suggester.go:53-59, on
+    multiset cardinalities) and the multiset positional filter."""
     keys = prefix_keys(records, metric, alpha, df_cap=df_cap)
 
     if max_block_size is not None:
@@ -112,17 +157,38 @@ def candidate_pairs(
         candidate_pairs._dropped_blocks = dropped  # type: ignore[attr-defined]
 
     a = keys.select(
-        F.col("term"), F.col("rid").alias("rid_a"), F.col("size").alias("size_a")
+        F.col("term"),
+        F.col("rid").alias("rid_a"),
+        F.col("msize").alias("size_a"),
+        F.col("kappa").alias("kappa_a"),
+        F.col("delta").alias("delta_a"),
+        F.col("tmass").alias("tmass_a"),
     )
     b = keys.select(
-        F.col("term"), F.col("rid").alias("rid_b"), F.col("size").alias("size_b")
+        F.col("term"),
+        F.col("rid").alias("rid_b"),
+        F.col("msize").alias("size_b"),
+        F.col("kappa").alias("kappa_b"),
+        F.col("delta").alias("delta_b"),
+        F.col("tmass").alias("tmass_b"),
     )
 
-    pairs = a.join(b, "term", "inner").where(
+    ub = F.least(
+        F.col("tmass_a") + F.col("kappa_a") * F.col("delta_b"),
+        F.col("tmass_b") + F.col("kappa_b") * F.col("delta_a"),
+    )
+    t = metric.threshold(alpha, F.col("size_a"), F.col("size_b"))
+
+    # all predicates BEFORE the dedup shuffle: length filter + positional
+    # filter run map-side on the join output (a pair survives if ANY shared
+    # prefix gram leaves enough headroom — exists-semantics, so row-level
+    # filter + distinct ≡ group-level max(ub) >= T, at a fraction of the
+    # shuffled bytes)
+    joined = a.join(b, "term", "inner").where(
         (F.col("rid_a") < F.col("rid_b"))
         & F.col("size_b").between(
             metric.min_y(alpha, F.col("size_a")), metric.max_y(alpha, F.col("size_a"))
         )
+        & (ub >= t)
     )
-
-    return pairs.select("rid_a", "rid_b").dropDuplicates(["rid_a", "rid_b"])
+    return joined.select("rid_a", "rid_b").dropDuplicates(["rid_a", "rid_b"])
