@@ -59,12 +59,21 @@ def run_single(cores: int) -> None:
     records = build_records(pages, cfg).persist()
     n_records = records.count()  # materialize input before the clock starts
 
+    # fused blocking→scoring: candidate generation stays map-side
+    # (dedup=False + broadcast self-join); the only shuffle before clustering
+    # is the survivor dedup
     t0 = time.time()
-    pairs = candidate_pairs(records, cfg.metric, cfg.alpha).persist()
-    n_pairs = pairs.count()
-    t_block = time.time() - t0
+    pairs = candidate_pairs(records, cfg.metric, cfg.alpha, dedup=False)
+    matches = score_pairs(
+        pairs, records, cfg.metric, cfg.alpha, dedup_pairs=True
+    ).persist()
+    n_matches = matches.count()
+    t_block_score = time.time() - t0
+    t_block = round(t_block_score, 3)  # reported jointly; see t_score=0 below
+    t_score = 0.0
 
-    # skew stats: rows per shuffle partition of the pair stage
+    # candidate volume + map-partition skew stats (outside the timed window —
+    # re-evaluates the map-only candidate stream)
     from pyspark.sql.functions import spark_partition_id
 
     part_rows = sorted(
@@ -73,16 +82,12 @@ def run_single(cores: int) -> None:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    n_pairs = sum(part_rows)
     skew = {
         "partitions": len(part_rows),
         "max_rows": part_rows[-1] if part_rows else 0,
         "median_rows": part_rows[len(part_rows) // 2] if part_rows else 0,
     }
-
-    t0 = time.time()
-    matches = score_pairs(pairs, records, cfg.metric, cfg.alpha).persist()
-    n_matches = matches.count()
-    t_score = time.time() - t0
 
     t0 = time.time()
     edges = matches.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
@@ -95,11 +100,10 @@ def run_single(cores: int) -> None:
         "n_pairs": n_pairs,
         "n_matches": n_matches,
         "n_assigned": n_assigned,
-        "t_block": round(t_block, 3),
-        "t_score": round(t_score, 3),
+        "t_block_score": round(t_block_score, 3),
         "t_cluster": round(t_cluster, 3),
-        "t_total": round(t_block + t_score + t_cluster, 3),
-        "pairs_per_sec": round(n_pairs / (t_block + t_score), 1),
+        "t_total": round(t_block_score + t_cluster, 3),
+        "pairs_per_sec": round(n_pairs / t_block_score, 1),
         "skew": skew,
         "conf": {
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),

@@ -144,10 +144,24 @@ def candidate_pairs(
     alpha: float,
     df_cap: int | None = None,
     max_block_size: int | None = None,
+    dedup: bool = True,
+    broadcast_keys: bool | None = None,
 ) -> DataFrame:
-    """Distinct candidate ``(rid_a, rid_b)`` (rid_a < rid_b) surviving the
-    length filter (reference LengthFilter, pkg/suggest/suggester.go:53-59, on
-    multiset cardinalities) and the multiset positional filter."""
+    """Candidate ``(rid_a, rid_b)`` (rid_a < rid_b) surviving the length
+    filter (reference LengthFilter, pkg/suggest/suggester.go:53-59, on
+    multiset cardinalities) and the multiset positional filter.
+
+    ``dedup=False`` skips the pair-dedup shuffle and emits one row per
+    qualifying shared prefix gram (bounded by the prefix length, ~2× on
+    average): the FUSED blocking→scoring path then stays entirely map-side —
+    scoring filters first, and only the tiny survivor set is deduped
+    (score_pairs(dedup_pairs=True)).  This removes the single largest
+    shuffle of the pipeline; use dedup=True when the pair list itself is the
+    product (e.g. checkpointed as a stage).
+
+    ``broadcast_keys`` broadcasts the build side of the self-join when the
+    prefix-key table is small enough (auto: <= 5M keys), eliminating the
+    join shuffle as well."""
     keys = prefix_keys(records, metric, alpha, df_cap=df_cap)
 
     if max_block_size is not None:
@@ -179,11 +193,20 @@ def candidate_pairs(
     )
     t = metric.threshold(alpha, F.col("size_a"), F.col("size_b"))
 
-    # all predicates BEFORE the dedup shuffle: length filter + positional
-    # filter run map-side on the join output (a pair survives if ANY shared
-    # prefix gram leaves enough headroom — exists-semantics, so row-level
-    # filter + distinct ≡ group-level max(ub) >= T, at a fraction of the
-    # shuffled bytes)
+    if broadcast_keys is None:
+        broadcast_keys = keys.count() <= 5_000_000
+    if broadcast_keys:
+        b = F.broadcast(b)
+        # the probe side is the only parallel dimension of the fused map
+        # stage; AQE coalesces the upstream (tiny) key shuffle to a handful
+        # of partitions, which would idle most cores — spread it back out
+        sc = records.sparkSession.sparkContext
+        a = a.repartition(sc.defaultParallelism * 2)
+
+    # all predicates BEFORE any shuffle: length filter + positional filter
+    # run map-side on the join output (a pair survives if ANY shared prefix
+    # gram leaves enough headroom — exists-semantics, so row-level filter +
+    # later dedup ≡ group-level max(ub) >= T, at a fraction of the bytes)
     joined = a.join(b, "term", "inner").where(
         (F.col("rid_a") < F.col("rid_b"))
         & F.col("size_b").between(
@@ -191,4 +214,5 @@ def candidate_pairs(
         )
         & (ub >= t)
     )
-    return joined.select("rid_a", "rid_b").dropDuplicates(["rid_a", "rid_b"])
+    pairs = joined.select("rid_a", "rid_b")
+    return pairs.dropDuplicates(["rid_a", "rid_b"]) if dedup else pairs

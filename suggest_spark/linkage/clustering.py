@@ -30,28 +30,31 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u over the symmetric graph: connect every strictly
-    larger neighbor v to m = min(Γ(u) ∪ {u})."""
+    larger neighbor v to m = min(Γ(u) ∪ {u}).
+
+    Output may contain duplicates — the round-final symmetrize dedups once,
+    instead of one distinct-shuffle per star (3 shuffles/round → 2)."""
     w = Window.partitionBy("src")
     with_min = edges.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
     return (
         with_min.where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Input edges oriented big→small (large-star output).  For each node u:
-    connect its smaller neighbors and u itself to m = min(neighbors)."""
+    connect its smaller neighbors and u itself to m = min(neighbors).
+    Duplicates tolerated (deduped by the round-final symmetrize)."""
     w = Window.partitionBy("src")
     with_min = edges.withColumn("m", F.min("dst").over(w))
     moved = (
         with_min.where(F.col("dst") != F.col("m"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-    self_edge = with_min.select(F.col("src"), F.col("m").alias("dst")).distinct()
-    return moved.unionByName(self_edge).where(F.col("src") != F.col("dst")).distinct()
+    self_edge = with_min.select(F.col("src"), F.col("m").alias("dst"))
+    return moved.unionByName(self_edge).where(F.col("src") != F.col("dst"))
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:

@@ -8,9 +8,11 @@ candidate — /root/reference/pkg/merger/scan_count.go:55-80), and
 (pkg/metric/*.go) over MULTISET cardinalities — so a pair scored here gets
 exactly the score the reference's suggest pipeline would assign.
 
-Levenshtein runs JVM-side (built-in ``F.levenshtein`` — no Python);
-Jaro-Winkler is vectorized per Arrow batch in the pandas UDF (no per-row
-Python round trips; the north rule mandates pandas/Arrow UDFs only).
+Execution split: overlap + similarity run JVM-side in whole-stage codegen
+over ALL candidates (the hot path never crosses the Python boundary);
+Levenshtein (built-in) and the Arrow-batched Jaro-Winkler pandas UDF run
+only on pairs that already passed the similarity threshold — batched
+vectorized Python on the small survivor set, never per-row on the firehose.
 """
 
 from __future__ import annotations
@@ -20,9 +22,9 @@ from collections import Counter
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import DoubleType
 
-from ..functions.metrics import METRICS, Metric
+from ..functions.metrics import Metric
 
 
 def overlap_py(terms_a: list[str], terms_b: list[str]) -> int:
@@ -79,36 +81,14 @@ def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 
-_SCORE_SCHEMA = StructType(
-    [
-        StructField("overlap", IntegerType()),
-        StructField("sim", DoubleType()),
-        StructField("jw", DoubleType()),
-    ]
-)
+def _jw_udf():
+    @F.pandas_udf(DoubleType())
+    def _jw(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler_py(a or "", b or "") for a, b in zip(text_a, text_b)]
+        )
 
-
-def _score_udf(metric_name: str):
-    metric = METRICS[metric_name]
-
-    @F.pandas_udf(_SCORE_SCHEMA)
-    def _score(
-        terms_a: pd.Series, terms_b: pd.Series, text_a: pd.Series, text_b: pd.Series
-    ) -> pd.DataFrame:
-        overlaps = []
-        sims = []
-        jws = []
-        for ta, tb, xa, xb in zip(terms_a, terms_b, text_a, text_b):
-            ta = list(ta) if ta is not None else []
-            tb = list(tb) if tb is not None else []
-            ov = overlap_py(ta, tb)
-            sa, sb = len(ta), len(tb)
-            sims.append(metric.similarity_py(ov, sa, sb) if ov and sa and sb else 0.0)
-            overlaps.append(ov)
-            jws.append(jaro_winkler_py(xa or "", xb or ""))
-        return pd.DataFrame({"overlap": overlaps, "sim": sims, "jw": jws})
-
-    return _score
+    return _jw
 
 
 def score_pairs(
@@ -116,6 +96,8 @@ def score_pairs(
     records: DataFrame,
     metric: Metric,
     alpha: float,
+    broadcast_records: bool | None = None,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Score candidate pairs and keep matches with sim >= alpha.
 
@@ -123,38 +105,82 @@ def score_pairs(
     ``records`` — (rid, url, text, terms, size)
 
     Returns (rid_a, rid_b, overlap, size_a, size_b, sim, lev, jw).
-    The two record joins shuffle on rid — the same key the pair generation
-    produced, so AQE coalesces them; records side can be bucketed by rid in a
-    warehouse deployment to make both joins co-located.
+
+    Join strategy: the pair table is usually one to two orders of magnitude
+    LARGER than the record table (every record yields many candidates), so
+    by default the records side is broadcast to both joins — the pair table
+    is never shuffled and the whole scoring stage is embarrassingly parallel.
+    Set ``broadcast_records=False`` (or let the auto-threshold do it) for
+    corpora too large to broadcast; then the joins shuffle on rid and a
+    bucketed records table makes them co-located.
     """
-    a = records.select(
+    if broadcast_records is None:
+        # cheap heuristic: count the records once; ~200 bytes/record of terms
+        # keeps a 2M-record dictionary under ~400 MB of broadcast
+        broadcast_records = records.count() <= 2_000_000
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_records else df
+
+    # Stage 1 — JVM-side overlap + similarity on EVERY candidate (the hot
+    # path: whole-stage codegen, no Arrow transfer of 15M+ term arrays into
+    # Python).  Multiset product via higher-order functions — O(|A|·(|A|+|B|))
+    # per pair, ideal for short keys (titles, names); corpora with thousands
+    # of grams per record should pre-aggregate term counts instead.
+    a = _side(records).select(
         F.col("rid").alias("rid_a"),
-        F.col("text").alias("text_a"),
         F.col("terms").alias("terms_a"),
         F.col("size").alias("size_a"),
     )
-    b = records.select(
+    b = _side(records).select(
         F.col("rid").alias("rid_b"),
-        F.col("text").alias("text_b"),
         F.col("terms").alias("terms_b"),
         F.col("size").alias("size_b"),
     )
     enriched = pairs.join(a, "rid_a").join(b, "rid_b")
 
-    scored = enriched.withColumn(
-        "sc", _score_udf(metric.name)("terms_a", "terms_b", "text_a", "text_b")
-    ).withColumn("lev", F.levenshtein("text_a", "text_b"))
-
-    return (
-        scored.select(
-            "rid_a",
-            "rid_b",
-            F.col("sc.overlap").alias("overlap"),
-            "size_a",
-            "size_b",
-            F.col("sc.sim").alias("sim"),
-            "lev",
-            F.col("sc.jw").alias("jw"),
-        )
+    # fast path: duplicate-free on both sides (the overwhelming majority) →
+    # multiset product == set intersection size (hash-based, O(|A|+|B|));
+    # slow exact product only when a side has duplicate normalized grams
+    dup_free = (F.size(F.array_distinct("terms_a")) == F.col("size_a")) & (
+        F.size(F.array_distinct("terms_b")) == F.col("size_b")
+    )
+    product = F.aggregate(
+        F.array_distinct("terms_a"),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.size(F.filter("terms_a", lambda x: x == t))
+        * F.size(F.filter("terms_b", lambda x: x == t)),
+    )
+    overlap = F.when(
+        dup_free, F.size(F.array_intersect("terms_a", "terms_b"))
+    ).otherwise(product)
+    sim = metric.similarity(F.col("overlap"), F.col("size_a"), F.col("size_b"))
+    survivors = (
+        enriched.withColumn("overlap", overlap.cast("int"))
+        .withColumn("sim", sim)
         .where(F.col("sim") >= alpha)
+        .select("rid_a", "rid_b", "overlap", "size_a", "size_b", "sim")
+    )
+    if dedup_pairs:
+        # fused path (candidate_pairs(dedup=False)): duplicates from multiple
+        # shared prefix grams are collapsed HERE, on the tiny survivor set
+        survivors = survivors.dropDuplicates(["rid_a", "rid_b"])
+
+    # Stage 2 — tie-breakers on SURVIVORS only (orders of magnitude fewer
+    # rows): JVM levenshtein + Arrow-batched Jaro-Winkler pandas UDF.
+    texts = records.select("rid", "text")
+    ta = _side(texts).select(F.col("rid").alias("rid_a"), F.col("text").alias("text_a"))
+    tb = _side(texts).select(F.col("rid").alias("rid_b"), F.col("text").alias("text_b"))
+    with_text = survivors.join(ta, "rid_a").join(tb, "rid_b")
+
+    return with_text.select(
+        "rid_a",
+        "rid_b",
+        "overlap",
+        "size_a",
+        "size_b",
+        "sim",
+        F.levenshtein("text_a", "text_b").alias("lev"),
+        _jw_udf()("text_a", "text_b").alias("jw"),
     )

@@ -1,0 +1,123 @@
+"""Multimodal mapInPandas plumbing + streaming serve tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from suggest_spark.config import DEFAULT_CONFIG
+from suggest_spark.functions.metrics import JACCARD
+from suggest_spark.operators.indexing import build_ngram_index
+from suggest_spark.operators.multimodal import (
+    audio_stub,
+    decode_image_features,
+    sample_frames,
+)
+from suggest_spark.streaming.serve import serve_suggest_stream, windowed_event_counts
+
+CARS8 = [
+    "Nissan March", "Nissan Juke", "Nissan Maxima", "Nissan Murano",
+    "Nissan Note", "Toyota Mark II", "Toyota Corolla", "Toyota Corona",
+]
+
+
+def _media_df(spark):
+    rows = [(i, bytes([i * 3 % 256, i * 7 % 256]) + bytes(range(40))) for i in range(6)]
+    return spark.createDataFrame(rows, "media_id long, media binary")
+
+
+def test_decode_image_features(spark):
+    out = decode_image_features(_media_df(spark)).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["n_bytes"] == 42
+        assert r["width"] >= 1 and r["height"] >= 1
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+    # deterministic across runs and partitioning
+    again = decode_image_features(_media_df(spark).repartition(5)).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_sample_frames(spark):
+    out = sample_frames(_media_df(spark), frame_bytes=8, stride=2).collect()
+    # 42 bytes → 5 full frames → indices 0, 2, 4 sampled
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2, 4] for v in by_id.values())
+    assert all(len(r["frame"]) == 8 for r in out)
+
+
+def test_audio_stub_raises():
+    with pytest.raises(NotImplementedError):
+        audio_stub()
+
+
+def test_streaming_suggest(spark, tmp_path):
+    """File-source query stream → foreachBatch suggest → collected results
+    must equal the batch goldens."""
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    with open(qdir / "batch1.json", "w") as f:
+        f.write(json.dumps({"query_id": 0, "query": "Nissan ma"}) + "\n")
+        f.write(json.dumps({"query_id": 1, "query": "toyota co"}) + "\n")
+
+    dictionary = spark.createDataFrame(list(enumerate(CARS8)), "doc_id long, value string")
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG)
+
+    stream = (
+        spark.readStream.schema("query_id long, query string")
+        .json(str(qdir))
+    )
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend(batch_df.collect())
+
+    q = serve_suggest_stream(stream, index, JACCARD, 0.5, 2, sink, DEFAULT_CONFIG)
+    q.awaitTermination(120)
+
+    by_q = {}
+    for r in sorted(results, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert by_q[0] == [2, 0]  # the reference golden
+    assert 6 in by_q.get(1, []) or 7 in by_q.get(1, [])
+
+
+def test_windowed_event_counts_batch_parity(spark, tmp_path):
+    """Streaming windowed agg (availableNow over a file source) produces the
+    same counts as the equivalent batch aggregation."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "event_type"
+    )
+    edir = str(tmp_path / "events_parquet")
+    events.write.parquet(edir)
+
+    stream = spark.readStream.schema(events.schema).parquet(edir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+
+    out_rows = []
+
+    def sink(batch_df, batch_id):
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    want = {(r["win"]["start"], r["event_type"]): r["n_events"] for r in batch}
+    got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out_rows}
+    assert got == want
