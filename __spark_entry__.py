@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 from suggest_spark.config import DEFAULT_CONFIG
 from suggest_spark.functions import text as T
 from suggest_spark.functions.analysis import duckdb_terms_sql
-from suggest_spark.functions.metrics import COSINE, JACCARD, Metric
+from suggest_spark.functions.metrics import COSINE, DICE, EXACT, JACCARD, OVERLAP, Metric
 from suggest_spark.operators import ann, dedup
+from suggest_spark.operators import lm as lm_ops
 from suggest_spark.operators.indexing import build_ngram_index, with_terms
 from suggest_spark.operators.suggest import autocomplete_firstk, suggest_topk
 
@@ -40,6 +41,14 @@ SUGGEST_LITERALS = [
     (5, "zzzz qqqq"),
 ]
 AUTOCOMPLETE_LITERALS = [(0, "small"), (1, "red w"), (2, "blue")]
+EXACT_LITERALS = [(0, "small ring"), (1, "red widget"), (2, "no such part")]
+LM_SENTENCES = [
+    (0, "small ring"),
+    (1, "red widget blue bolt"),
+    (2, "the data table"),
+    (3, "zz qq unknown words"),
+    (4, ""),
+]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,11 +75,11 @@ def _values_sql(literals) -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_suggest(metric: Metric, alpha: float, k: int):
+def q_suggest(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         dictionary = _part_dictionary(spark, sf_dir)
         index = build_ngram_index(dictionary, config=CFG)
-        out = suggest_topk(index, _literals_df(spark, SUGGEST_LITERALS), metric, alpha, k, CFG)
+        out = suggest_topk(index, _literals_df(spark, literals), metric, alpha, k, CFG)
         return out.select(
             "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
         )
@@ -78,7 +87,7 @@ def q_suggest(metric: Metric, alpha: float, k: int):
     return run
 
 
-def sql_suggest(metric: Metric, alpha: float, k: int) -> str:
+def sql_suggest(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS) -> str:
     terms_v = duckdb_terms_sql("value", CFG)
     terms_q = duckdb_terms_sql("query", CFG)
     min_b = metric.min_y_sql(alpha, "q.size_a")
@@ -89,7 +98,7 @@ def sql_suggest(metric: Metric, alpha: float, k: int) -> str:
 WITH dict AS (SELECT p_partkey AS doc_id, p_name AS value FROM part),
 toks AS (SELECT doc_id, unnest({terms_v}) AS term FROM dict),
 sized AS (SELECT doc_id, count(*) AS size FROM toks GROUP BY doc_id),
-queries AS (SELECT query_id, query FROM {_values_sql(SUGGEST_LITERALS)}),
+queries AS (SELECT query_id, query FROM {_values_sql(literals)}),
 qtoks AS (SELECT query_id, unnest({terms_q}) AS term FROM queries),
 qsized AS (SELECT query_id, count(*) AS size_a FROM qtoks GROUP BY query_id),
 joined AS (
@@ -506,6 +515,78 @@ SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
 """
 
 
+def q_lm_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    counts = lm_ops.build_ngram_counts(docs, 3)
+    return counts[3].select(F.col("gram").alias("trigram"), "cnt")
+
+
+SQL_LM_TRIGRAMS = f"""
+WITH w AS (SELECT ['<S>'] || {_SQL_WORDS} || ['</S>'] AS ws FROM documents),
+tg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]) AS trigram
+       FROM w WHERE len(ws) >= 3)
+SELECT trigram, count(*) AS cnt FROM tg GROUP BY trigram
+"""
+
+
+def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff sentence scores against an LM built over documents
+    (reference semantics: pkg/lm/ngram_model.go:162-175)."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = lm_ops.build_ngram_counts(docs, 3)
+    sents = _literals_df(spark, LM_SENTENCES).withColumnRenamed(
+        "query_id", "sent_id"
+    ).withColumnRenamed("query", "text")
+    out = lm_ops.score_sentences(sents, counts, 3)
+    return out.select("sent_id", F.round("score", 6).alias("score"))
+
+
+def sql_lm_backoff_score() -> str:
+    f2 = lm_ops.ALPHA  # 0.4
+    f1 = lm_ops.ALPHA ** 2
+    rows = ", ".join(f"({i}, '{s}')" for i, s in LM_SENTENCES)
+    return f"""
+WITH corpus AS (SELECT ['<S>'] || {_SQL_WORDS} || ['</S>'] AS ws FROM documents),
+c1 AS (SELECT unnest(ws) AS gram FROM corpus),
+t1 AS (SELECT gram, count(*) AS cnt FROM c1 GROUP BY gram),
+c2 AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+       FROM corpus WHERE len(ws) >= 2),
+t2 AS (SELECT gram, count(*) AS cnt FROM c2 GROUP BY gram),
+c3 AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]) AS gram
+       FROM corpus WHERE len(ws) >= 3),
+t3 AS (SELECT gram, count(*) AS cnt FROM c3 GROUP BY gram),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM t1),
+q AS (SELECT sent_id, text FROM (VALUES {rows}) AS _q(sent_id, text)),
+qw AS (SELECT sent_id, ['<S>'] || {_SQL_WORDS} || ['</S>'] AS ws FROM q),
+qg AS (SELECT sent_id, unnest([ws[i:i+2] for i in range(1, len(ws) - 1)]) AS g
+       FROM qw WHERE len(ws) >= 3),
+joined AS (
+  SELECT sent_id,
+         coalesce(a.cnt, 0) AS c1, coalesce(b.cnt, 0) AS c2, coalesce(c.cnt, 0) AS c3
+  FROM qg
+  LEFT JOIN t1 a ON a.gram = g[1]
+  LEFT JOIN t2 b ON b.gram = g[1] || ' ' || g[2]
+  LEFT JOIN t3 c ON c.gram = g[1] || ' ' || g[2] || ' ' || g[3]
+),
+per_gram AS (
+  SELECT sent_id,
+         CASE WHEN c3 > 0 THEN ln(CAST(1.0 AS DOUBLE) * c3 / c2)
+              WHEN c2 > 0 THEN ln(CAST({f2!r} AS DOUBLE) * c2 / c1)
+              WHEN c1 > 0 THEN ln(CAST({f1!r} AS DOUBLE) * c1 / (SELECT t FROM total))
+              ELSE CAST(-100.0 AS DOUBLE) END AS gram_score
+  FROM joined
+),
+scored AS (
+  SELECT sent_id, sum(gram_score) AS score FROM per_gram GROUP BY sent_id
+  UNION ALL
+  SELECT sent_id, CAST(0.0 AS DOUBLE) AS score FROM qw WHERE len(ws) < 3
+)
+SELECT sent_id, round(score, 6) AS score FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (aggregation / window / join mappings)
 # ---------------------------------------------------------------------------
@@ -625,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suggest_jaccard_topk": q_suggest(JACCARD, 0.5, 5),
         "suggest_cosine_topk": q_suggest(COSINE, 0.4, 5),
+        "suggest_dice_topk": q_suggest(DICE, 0.6, 5),
+        "suggest_overlap_topk": q_suggest(OVERLAP, 0.8, 5),
+        "suggest_exact_match": q_suggest(EXACT, 1.0, 5, EXACT_LITERALS),
         "autocomplete_firstk": q_autocomplete(5),
         "ngram_index_build": q_index_build,
         "selfjoin_jaccard": q_selfjoin_jaccard,
@@ -639,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
         "lm_bigram_counts": q_lm_bigrams,
+        "lm_trigram_counts": q_lm_trigrams,
+        "lm_backoff_score": q_lm_backoff_score,
         "agg_pricing_summary": q_pricing_summary,
         "window_top_orders": q_top_orders,
         "join_customer_nation": q_customer_nation,
@@ -650,6 +736,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "suggest_jaccard_topk": sql_suggest(JACCARD, 0.5, 5),
         "suggest_cosine_topk": sql_suggest(COSINE, 0.4, 5),
+        "suggest_dice_topk": sql_suggest(DICE, 0.6, 5),
+        "suggest_overlap_topk": sql_suggest(OVERLAP, 0.8, 5),
+        "suggest_exact_match": sql_suggest(EXACT, 1.0, 5, EXACT_LITERALS),
         "autocomplete_firstk": sql_autocomplete(5),
         "ngram_index_build": SQL_INDEX_BUILD,
         "selfjoin_jaccard": SQL_SELFJOIN_JACCARD,
@@ -664,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,
         "lm_bigram_counts": SQL_LM_BIGRAMS,
+        "lm_trigram_counts": SQL_LM_TRIGRAMS,
+        "lm_backoff_score": sql_lm_backoff_score(),
         "agg_pricing_summary": SQL_PRICING_SUMMARY,
         "window_top_orders": SQL_TOP_ORDERS,
         "join_customer_nation": SQL_CUSTOMER_NATION,

@@ -53,6 +53,46 @@ def gram_document_frequency(records: DataFrame) -> DataFrame:
     )
 
 
+def term_id_table(records: DataFrame, term_df: DataFrame | None = None) -> DataFrame:
+    """``(term, tid, df)``: dense int ids in global rarity order (df asc,
+    term asc).  The character n-gram space is intrinsically bounded
+    (≤ |alphabet|^n ≈ tens of thousands), so this table broadcasts at ANY
+    corpus scale — the single-partition ranking window is safe."""
+    if term_df is None:
+        term_df = gram_document_frequency(records)
+    w = Window.orderBy(F.asc("df"), F.asc("term"))
+    return term_df.withColumn("tid", F.row_number().over(w).cast("int")).select(
+        "term", "tid", "df"
+    )
+
+
+def encode_records(
+    records: DataFrame,
+    term_table: DataFrame | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """``(rid, msize, delta, kappa, tids)``: each record's gram multiset as a
+    SORTED int array in global rarity order.  Sorted ids make the prefix a
+    plain slice, pair-join keys 4-byte ints, and overlap an int-set
+    intersection — a fraction of the memory traffic of string arrays."""
+    if term_table is None:
+        term_table = term_id_table(records)
+    if df_cap is not None:
+        term_table = term_table.where(F.col("df") <= df_cap)
+    ex = records.select(
+        "rid", F.size("terms").alias("msize"), F.explode("terms").alias("term")
+    )
+    enc = (
+        ex.join(F.broadcast(term_table.select("term", "tid")), "term", "inner")
+        .groupBy("rid", "msize")
+        .agg(F.array_sort(F.collect_list("tid")).alias("tids"))
+    )
+    delta = F.col("msize") - F.size(F.array_distinct("tids"))
+    return enc.withColumn("delta", delta.cast("int")).withColumn(
+        "kappa", F.col("delta") + F.lit(1)
+    )
+
+
 def max_excess(records: DataFrame) -> int:
     """Global maximum duplicate excess Δ_max = max over records of
     msize − set_size (0 unless distinct raw grams normalize to the same
@@ -65,59 +105,35 @@ def max_excess(records: DataFrame) -> int:
 
 
 def prefix_keys(
-    records: DataFrame,
+    encoded: DataFrame,
     metric: Metric,
     alpha: float,
-    term_df: DataFrame | None = None,
-    df_cap: int | None = None,
     delta_max: int | None = None,
 ) -> DataFrame:
-    """``(term, rid, msize, kappa, delta, tmass)`` blocking keys.
+    """``(tid, rid, msize, kappa, delta, tmass)`` blocking keys from encoded
+    records (see :func:`encode_records`).
 
     ``tmass`` is the multiset mass of the record's rarity-ordered suffix
     starting at (and including) this gram; ``kappa``/``delta`` the record's
-    max multiplicity and duplicate excess.  Rank p is kept iff
+    max multiplicity (bound) and duplicate excess.  Rank p is kept iff
     tmass(p) + κ_rec·Δ_max >= min_y(alpha, msize).
+
+    ONE shuffle total upstream (inside encode_records); the prefix cut here
+    is pure array math — sorted ids make first-occurrence detection and
+    suffix mass a slice-and-compare, no window functions, no extra shuffle.
     """
-    if term_df is None:
-        term_df = gram_document_frequency(records)
     if delta_max is None:
-        delta_max = max_excess(records)
+        row = encoded.agg(F.max("delta").alias("d")).first()
+        delta_max = int(row["d"] or 0)
 
-    # ONE shuffle total: explode the multiset, broadcast-join the df table,
-    # regroup per record; everything else (rarity sort, multiplicities,
-    # suffix masses, prefix cut) happens array-side inside the row — no
-    # window functions, no second shuffle.  At 100 TB this is the difference
-    # between 1 and 3 full-corpus shuffles in the blocking stage.
-    exploded = records.select(
-        "rid", F.size("terms").alias("msize"), F.explode("terms").alias("term")
-    )
-    with_df = exploded.join(F.broadcast(term_df), "term", "inner")
-    if df_cap is not None:
-        with_df = with_df.where(F.col("df") <= df_cap)
-
-    gathered = with_df.groupBy("rid", "msize").agg(
-        F.array_sort(F.collect_list(F.struct("df", "term"))).alias("s")
-    )
-
-    n = F.size("s")
-    n_distinct = F.size(F.array_distinct(F.transform("s", lambda x: x["term"])))
-    # delta = total duplicate excess; kappa <= delta + 1 (sound overestimate)
-    gathered = gathered.withColumn("delta", (n - n_distinct).cast("int")).withColumn(
-        "kappa", F.col("delta") + F.lit(1)
-    )
-
+    n = F.size("tids")
     r_min = metric.min_y(alpha, F.col("msize"))
-    # first occurrence of each distinct term in rarity order (equal terms are
-    # adjacent after the (df, term) sort); tmass = multiset mass from here on
     entries = F.transform(
-        "s",
-        lambda x, i: F.struct(
-            x["term"].alias("term"),
+        "tids",
+        lambda t, i: F.struct(
+            t.alias("tid"),
             (n - i).cast("int").alias("tmass"),
-            ((i == F.lit(0)) | (x["term"] != F.get("s", i - 1)["term"])).alias(
-                "is_first"
-            ),
+            ((i == F.lit(0)) | (t != F.get("tids", i - 1))).alias("is_first"),
         ),
     )
     kept = F.filter(
@@ -126,10 +142,10 @@ def prefix_keys(
         & (e["tmass"] + F.col("kappa") * F.lit(delta_max) >= r_min),
     )
 
-    return gathered.select(
+    return encoded.select(
         "rid", "msize", "kappa", "delta", F.explode(kept).alias("e")
     ).select(
-        F.col("e")["term"].alias("term"),
+        F.col("e")["tid"].alias("tid"),
         "rid",
         "msize",
         "kappa",
@@ -161,17 +177,23 @@ def candidate_pairs(
 
     ``broadcast_keys`` broadcasts the build side of the self-join when the
     prefix-key table is small enough (auto: <= 5M keys), eliminating the
-    join shuffle as well."""
-    keys = prefix_keys(records, metric, alpha, df_cap=df_cap)
+    join shuffle as well.
+
+    ``records`` may be raw (with a ``terms`` column — encoded internally) or
+    pre-encoded via :func:`encode_records` (share the encoding with
+    score_pairs to avoid doing it twice)."""
+    if "tids" not in records.columns:
+        records = encode_records(records, df_cap=df_cap)
+    keys = prefix_keys(records, metric, alpha)
 
     if max_block_size is not None:
-        block_sizes = keys.groupBy("term").agg(F.count(F.lit(1)).alias("block_n"))
+        block_sizes = keys.groupBy("tid").agg(F.count(F.lit(1)).alias("block_n"))
         dropped = block_sizes.where(F.col("block_n") > max_block_size)
-        keys = keys.join(F.broadcast(dropped.select("term")), "term", "left_anti")
+        keys = keys.join(F.broadcast(dropped.select("tid")), "tid", "left_anti")
         candidate_pairs._dropped_blocks = dropped  # type: ignore[attr-defined]
 
     a = keys.select(
-        F.col("term"),
+        F.col("tid"),
         F.col("rid").alias("rid_a"),
         F.col("msize").alias("size_a"),
         F.col("kappa").alias("kappa_a"),
@@ -179,7 +201,7 @@ def candidate_pairs(
         F.col("tmass").alias("tmass_a"),
     )
     b = keys.select(
-        F.col("term"),
+        F.col("tid"),
         F.col("rid").alias("rid_b"),
         F.col("msize").alias("size_b"),
         F.col("kappa").alias("kappa_b"),
@@ -207,7 +229,7 @@ def candidate_pairs(
     # run map-side on the join output (a pair survives if ANY shared prefix
     # gram leaves enough headroom — exists-semantics, so row-level filter +
     # later dedup ≡ group-level max(ub) >= T, at a fraction of the bytes)
-    joined = a.join(b, "term", "inner").where(
+    joined = a.join(b, "tid", "inner").where(
         (F.col("rid_a") < F.col("rid_b"))
         & F.col("size_b").between(
             metric.min_y(alpha, F.col("size_a")), metric.max_y(alpha, F.col("size_a"))

@@ -83,13 +83,16 @@ def run_linkage(
 
     records = cp.run_stage("records", lambda: build_records(pages, config)).df
 
+    from .blocking import encode_records
+
+    encoded = encode_records(records, df_cap=config.df_cap).persist()
+
     pairs = cp.run_stage(
         "pairs",
         lambda: candidate_pairs(
-            records,
+            encoded,
             config.metric,
             config.alpha,
-            df_cap=config.df_cap,
             max_block_size=config.max_block_size,
         ),
         inputs=["records"],
@@ -97,7 +100,9 @@ def run_linkage(
 
     matches = cp.run_stage(
         "matches",
-        lambda: score_pairs(pairs, records, config.metric, config.alpha),
+        lambda: score_pairs(
+            pairs, records, config.metric, config.alpha, encoded=encoded
+        ),
         inputs=["records", "pairs"],
     ).df
 

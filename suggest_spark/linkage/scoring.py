@@ -98,6 +98,7 @@ def score_pairs(
     alpha: float,
     broadcast_records: bool | None = None,
     dedup_pairs: bool = False,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Score candidate pairs and keep matches with sim >= alpha.
 
@@ -115,45 +116,50 @@ def score_pairs(
     bucketed records table makes them co-located.
     """
     if broadcast_records is None:
-        # cheap heuristic: count the records once; ~200 bytes/record of terms
-        # keeps a 2M-record dictionary under ~400 MB of broadcast
+        # cheap heuristic: count the records once; ~100 bytes/record of int
+        # ids keeps a multi-million-record dictionary broadcastable
         broadcast_records = records.count() <= 2_000_000
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_records else df
 
+    if encoded is None:
+        from .blocking import encode_records
+
+        encoded = encode_records(records)
+
     # Stage 1 — JVM-side overlap + similarity on EVERY candidate (the hot
-    # path: whole-stage codegen, no Arrow transfer of 15M+ term arrays into
-    # Python).  Multiset product via higher-order functions — O(|A|·(|A|+|B|))
-    # per pair, ideal for short keys (titles, names); corpora with thousands
-    # of grams per record should pre-aggregate term counts instead.
-    a = _side(records).select(
+    # path: whole-stage codegen, no Arrow transfer of millions of term
+    # arrays into Python).  Records are pre-encoded as sorted int-id arrays
+    # (blocking.encode_records) — int-set intersection, minimal memory
+    # traffic.
+    a = _side(encoded).select(
         F.col("rid").alias("rid_a"),
-        F.col("terms").alias("terms_a"),
-        F.col("size").alias("size_a"),
+        F.col("tids").alias("tids_a"),
+        F.col("msize").alias("size_a"),
+        F.col("delta").alias("delta_a"),
     )
-    b = _side(records).select(
+    b = _side(encoded).select(
         F.col("rid").alias("rid_b"),
-        F.col("terms").alias("terms_b"),
-        F.col("size").alias("size_b"),
+        F.col("tids").alias("tids_b"),
+        F.col("msize").alias("size_b"),
+        F.col("delta").alias("delta_b"),
     )
     enriched = pairs.join(a, "rid_a").join(b, "rid_b")
 
     # fast path: duplicate-free on both sides (the overwhelming majority) →
     # multiset product == set intersection size (hash-based, O(|A|+|B|));
-    # slow exact product only when a side has duplicate normalized grams
-    dup_free = (F.size(F.array_distinct("terms_a")) == F.col("size_a")) & (
-        F.size(F.array_distinct("terms_b")) == F.col("size_b")
-    )
+    # exact product only when a side has duplicate normalized grams
+    dup_free = (F.col("delta_a") == 0) & (F.col("delta_b") == 0)
     product = F.aggregate(
-        F.array_distinct("terms_a"),
+        F.array_distinct("tids_a"),
         F.lit(0),
         lambda acc, t: acc
-        + F.size(F.filter("terms_a", lambda x: x == t))
-        * F.size(F.filter("terms_b", lambda x: x == t)),
+        + F.size(F.filter("tids_a", lambda x: x == t))
+        * F.size(F.filter("tids_b", lambda x: x == t)),
     )
     overlap = F.when(
-        dup_free, F.size(F.array_intersect("terms_a", "terms_b"))
+        dup_free, F.size(F.array_intersect("tids_a", "tids_b"))
     ).otherwise(product)
     sim = metric.similarity(F.col("overlap"), F.col("size_a"), F.col("size_b"))
     survivors = (
