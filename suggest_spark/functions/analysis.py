@@ -171,3 +171,61 @@ def word_tokens_col(text: Column) -> Column:
 
 def word_tokens_py(text: str) -> list[str]:
     return [w for w in re.split(WORD_SPLIT_REGEX, text.lower().strip()) if w]
+
+
+def alphabet_word_tokens_col(text: Column, config: IndexConfig = DEFAULT_CONFIG) -> Column:
+    """P9, exact form: split into maximal runs of alphabet runes
+    (pkg/analysis/word_tokenizer.go:10-47 — a word is a contiguous run of
+    runes the alphabet accepts; everything else separates)."""
+    return F.filter(
+        F.split(F.lower(text), f"[^{config.alphabet_char_class}]+"),
+        lambda w: w != "",
+    )
+
+
+def sentence_split_col(text: Column, separators: str = ".?!\n") -> Column:
+    """P10: sentence retriever — split on a separators alphabet
+    (pkg/lm/sentence_retriever.go:23-81 streams sentences the same way)."""
+    cls = _escape_for_char_class_local(separators)
+    return F.filter(
+        F.transform(F.split(text, f"[{cls}]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def _escape_for_char_class_local(chars: str) -> str:
+    return "".join("\\" + c if c in set("\\^]$.|?*+()[{") else c for c in chars)
+
+
+# P8: stop-word filter + light stemmer (reference: pkg/analysis/
+# stemmer_filter.go:17-49 with generated snowball data — present in the
+# reference but NOT wired into the suggest chain, so ranking parity does not
+# depend on it; provided here as composable column filters).
+EN_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def stop_words_filter_col(words: Column, stop_words: frozenset[str] = EN_STOP_WORDS) -> Column:
+    sw = F.array(*[F.lit(w) for w in sorted(stop_words)])
+    return F.filter(words, lambda w: ~F.array_contains(sw, w))
+
+
+_STEM_SUFFIXES = ["ing", "edly", "ed", "ies", "ly", "es", "s"]
+
+
+def light_stem_col(words: Column) -> Column:
+    """Suffix-stripping stemmer (porter-light; the reference embeds a full
+    generated snowball — out of parity scope, cf. SURVEY.md P8)."""
+    # when/otherwise chain built in reverse: first matching suffix in list
+    # order wins; stems only when >= 3 chars remain
+    def stem(word: Column) -> Column:
+        result = word
+        for suf in reversed(_STEM_SUFFIXES):
+            keep_len = F.char_length(word) - len(suf)
+            cond = word.endswith(suf) & (keep_len >= 3)
+            result = F.when(cond, F.substring(word, 1, keep_len)).otherwise(result)
+        return result
+
+    return F.transform(words, stem)

@@ -125,6 +125,70 @@ def score_sentences(
     )
 
 
+def write_google_ngram_format(counts: dict[int, DataFrame], out_dir: str) -> None:
+    """S7: Google n-gram format sink — ``<w1 w2..>\\t<count>`` in ``k-gm``
+    files (reference: pkg/lm/ngram_writer.go:21-76)."""
+    for k, df in counts.items():
+        (
+            df.select("gram", "cnt")
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .csv(f"{out_dir}/{k}-gm")
+        )
+
+
+def read_google_ngram_format(spark, out_dir: str, order: int) -> dict[int, DataFrame]:
+    """S8: Google n-gram format source (reference: pkg/lm/ngram_reader.go:26-98)."""
+    out: dict[int, DataFrame] = {}
+    for k in range(1, order + 1):
+        out[k] = (
+            spark.read.option("sep", "\t")
+            .schema("gram string, cnt long")
+            .csv(f"{out_dir}/{k}-gm")
+        )
+    return out
+
+
+def next_word_scores(
+    context: list[str],
+    counts: dict[int, DataFrame],
+    order: int,
+    wrap_context: bool = True,
+) -> DataFrame:
+    """L2: next-word candidates for a context (reference:
+    pkg/lm/ngram_model.go:67-99 Next + scorer_next.go:15-23 ScoreNext —
+    ``score = log(count(context + w) / count(context))``).
+
+    With ``wrap_context`` the context is adjusted the way languageModel.Next
+    does (language_model.go:100-113): shorter contexts are left-wrapped with
+    <S>; longer ones keep the trailing order−1 words.  ``wrap_context=False``
+    matches the raw nGramModel.Next entry point (the ngram_model_test.go
+    goldens).  Returns ``(word, score)``.
+    """
+    ctx = [w.lower() for w in context]
+    if wrap_context:
+        if len(ctx) + 1 < order:
+            ctx = [START] + ctx
+        elif len(ctx) > order:
+            ctx = ctx[len(ctx) - order + 1 :]
+        elif len(ctx) == order:
+            ctx = ctx[: order - 1]
+    k = len(ctx)
+    prefix = " ".join(ctx)
+
+    ctx_count_row = counts[k].where(F.col("gram") == prefix).first()
+    if ctx_count_row is None:
+        return counts[k + 1].sparkSession.createDataFrame([], "word string, score double")
+    ctx_count = ctx_count_row["cnt"]
+
+    children = counts[k + 1].where(
+        F.col("gram").startswith(prefix + " ")
+    )
+    word = F.element_at(F.split(F.col("gram"), " "), -1)
+    score = F.log(F.col("cnt").cast("double") / F.lit(float(ctx_count)))
+    return children.select(word.alias("word"), score.alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # pure-Python oracle (golden-tested against pkg/lm/language_model_test.go)
 # ---------------------------------------------------------------------------

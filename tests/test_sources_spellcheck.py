@@ -1,0 +1,133 @@
+"""Dictionary sources, Google n-gram format round-trip, next-word goldens,
+spellchecker Predict, and the auxiliary analysis filters (P8-P10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from suggest_spark.config import DEFAULT_CONFIG, IndexConfig
+from suggest_spark.functions.analysis import (
+    alphabet_word_tokens_col,
+    light_stem_col,
+    sentence_split_col,
+    stop_words_filter_col,
+    word_tokens_col,
+)
+from suggest_spark.operators.indexing import build_ngram_index
+from suggest_spark.operators.lm import (
+    build_ngram_counts,
+    next_word_scores,
+    read_google_ngram_format,
+    write_google_ngram_format,
+)
+from suggest_spark.operators.spellcheck import predict
+from suggest_spark.sources.dictionary import (
+    from_list,
+    read_dictionary,
+    read_line_dictionary,
+    write_dictionary,
+)
+
+CORPUS = [
+    "i am sam",
+    "sam i am",
+    "i do not like green eggs and ham",
+]
+
+
+def test_line_dictionary_ids_follow_line_order(spark, tmp_path):
+    p = tmp_path / "words.dict"
+    p.write_text("alpha\nbeta\ngamma\ndelta\n")
+    df = read_line_dictionary(spark, str(p))
+    rows = {r["doc_id"]: r["value"] for r in df.collect()}
+    assert rows == {0: "alpha", 1: "beta", 2: "gamma", 3: "delta"}
+
+
+def test_dictionary_parquet_roundtrip(spark, tmp_path):
+    d = from_list(spark, ["x", "y"])
+    path = str(tmp_path / "dict")
+    write_dictionary(d, path)
+    back = read_dictionary(spark, path)
+    assert sorted((r["doc_id"], r["value"]) for r in back.collect()) == [(0, "x"), (1, "y")]
+
+
+def test_google_ngram_format_roundtrip(spark, tmp_path):
+    sents = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(CORPUS)], "sent_id long, text string"
+    )
+    counts = build_ngram_counts(sents, 3)
+    out = str(tmp_path / "gngrams")
+    write_google_ngram_format(counts, out)
+    back = read_google_ngram_format(spark, out, 3)
+    for k in (1, 2, 3):
+        want = {(r["gram"], r["cnt"]) for r in counts[k].collect()}
+        got = {(r["gram"], r["cnt"]) for r in back[k].collect()}
+        assert got == want, k
+
+
+# ngram_model_test.go:28-88 goldens (raw model.Next — no context wrapping)
+@pytest.mark.parametrize(
+    "context,word,expected",
+    [
+        (["i", "am"], "sam", -0.6931),
+        (["i", "am"], "</S>", -0.6931),
+        (["i"], "am", -0.4054),
+        (["i"], "do", -1.0986),
+        (["green"], "eggs", 0.0),
+    ],
+)
+def test_next_word_goldens(spark, context, word, expected):
+    sents = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(CORPUS)], "sent_id long, text string"
+    )
+    counts = build_ngram_counts(sents, 3)
+    got = {
+        r["word"]: r["score"]
+        for r in next_word_scores(context, counts, 3, wrap_context=False).collect()
+    }
+    assert word in got
+    assert abs(got[word] - expected) < 1e-4
+
+
+def test_spellchecker_predict(spark):
+    sents = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(CORPUS)], "sent_id long, text string"
+    )
+    counts = build_ngram_counts(sents, 3)
+    vocab_words = sorted(
+        {w for s in CORPUS for w in s.split()}
+    )
+    cfg = IndexConfig(ngram_size=2)  # short vocabulary words need bigrams
+    vocab = from_list(spark, vocab_words).cache()
+    index = build_ngram_index(vocab, config=cfg).cache()
+
+    out = predict(vocab, index, counts, 3, "sam i a", topk=2, similarity=0.4,
+                  config=cfg)
+    # context ["sam","i"], word "a" → "am" (c("sam i am")/c("sam i") = 1) wins
+    assert out[0] == "am"
+
+    # no-context query falls back to autocomplete order
+    out2 = predict(vocab, index, counts, 3, "gre", topk=3, similarity=0.4,
+                   config=cfg)
+    assert "green" in out2
+
+    assert predict(vocab, index, counts, 3, "", 3, 0.4, cfg) == []
+
+
+def test_analysis_filters(spark):
+    df = spark.createDataFrame(
+        [("The cats were running; dogs ran. And fish swim!",)], "text string"
+    )
+    words = alphabet_word_tokens_col(F.col("text"))
+    row = df.select(
+        words.alias("w"),
+        stop_words_filter_col(words).alias("nostop"),
+        light_stem_col(words).alias("stems"),
+        sentence_split_col(F.col("text")).alias("sents"),
+    ).first()
+    assert row["w"][:3] == ["the", "cats", "were"]
+    assert "the" not in row["nostop"] and "and" not in row["nostop"]
+    assert "runn" in row["stems"] or "running" not in row["stems"]
+    assert row["sents"] == [
+        "The cats were running; dogs ran",
+        "And fish swim",
+    ]
