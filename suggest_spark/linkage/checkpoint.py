@@ -43,13 +43,29 @@ def _content_checksum(df: DataFrame) -> int:
     return int(row["h"])
 
 
-def _file_metrics(path: str) -> list[dict]:
+def _file_metrics(path: str, df: DataFrame | None = None) -> list[dict]:
+    """Per-partition (output file) metrics: bytes from the filesystem, row
+    counts from one grouped pass over the written data."""
+    rows_by_file: dict[str, int] = {}
+    if df is not None:
+        counted = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows_by_file = {os.path.basename(r["f"]): int(r["n"]) for r in counted}
     out = []
     for name in sorted(os.listdir(path)):
         if name.startswith("_") or name.startswith("."):
             continue
         full = os.path.join(path, name)
-        out.append({"file": name, "bytes": os.path.getsize(full)})
+        out.append(
+            {
+                "file": name,
+                "bytes": os.path.getsize(full),
+                "rows": rows_by_file.get(name, 0),
+            }
+        )
     return out
 
 
@@ -120,7 +136,7 @@ class CheckpointedPipeline:
             "lineage": lineage,
             "rows": rows,
             "checksum": checksum,
-            "partitions": _file_metrics(tmp_dir),
+            "partitions": _file_metrics(tmp_dir, out),
             "wall_sec": round(time.time() - t0, 3),
             "metrics": extra_metrics or {},
         }
