@@ -184,11 +184,18 @@ def labeled_pairs_pdf(pages_pdf: pd.DataFrame, n_negatives_per_pos: int = 1, see
 
 
 def url_id(url_col: F.Column) -> F.Column:
-    """Stable 128-bit node id for a url (md5 hex — orderable, deterministic
-    across runs and parallelism levels; 64-bit hashes would collide at the
-    10^12-document design point, 128-bit does not)."""
-    return F.md5(url_col)
+    """Stable 128-bit node id for a url: md5 as BINARY(16) — orderable
+    (unsigned lexicographic, identical to Python bytes ordering),
+    deterministic across runs and parallelism levels, and 3× smaller on the
+    wire than hex strings.  64-bit hashes would collide at the
+    10^12-document design point; 128-bit does not."""
+    return F.unhex(F.md5(url_col))
 
 
-def url_id_py(url: str) -> str:
-    return hashlib.md5(url.encode("utf-8")).hexdigest()
+def url_id_py(url: str) -> bytes:
+    return hashlib.md5(url.encode("utf-8")).digest()
+
+
+def rid_hex(rid_col: F.Column) -> F.Column:
+    """Human-readable form of a binary rid (for outputs/debugging)."""
+    return F.lower(F.hex(rid_col))
