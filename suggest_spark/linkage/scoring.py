@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from ..functions.metrics import Metric
+from .blocking import prefix_keys
 
 
 def overlap_py(terms_a: list[str], terms_b: list[str]) -> int:
@@ -91,6 +92,131 @@ def _jw_udf():
     return _jw
 
 
+def overlap_col() -> F.Column:
+    """ScanCount multiset overlap of ``tids_a``/``tids_b`` (sorted int-id
+    arrays from blocking.encode_records), JVM-side.
+
+    Fast path: duplicate-free on both sides (the overwhelming majority) →
+    multiset product == set intersection size (hash-based, O(|A|+|B|));
+    exact Σ_t mult_a(t)·mult_b(t) product only when a side has duplicate
+    normalized grams (delta > 0)."""
+    dup_free = (F.col("delta_a") == 0) & (F.col("delta_b") == 0)
+    product = F.aggregate(
+        F.array_distinct("tids_a"),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.size(F.filter("tids_a", lambda x: x == t))
+        * F.size(F.filter("tids_b", lambda x: x == t)),
+    )
+    return F.when(
+        dup_free, F.size(F.array_intersect("tids_a", "tids_b"))
+    ).otherwise(product)
+
+
+def attach_tiebreakers(
+    survivors: DataFrame,
+    records: DataFrame,
+    broadcast_records: bool = True,
+) -> DataFrame:
+    """Stage 2 — tie-breakers on SURVIVORS only (orders of magnitude fewer
+    rows than candidates): JVM levenshtein + Arrow-batched Jaro-Winkler
+    pandas UDF (north-rule mandate)."""
+    texts = records.select("rid", "text")
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_records else df
+
+    ta = _side(texts).select(F.col("rid").alias("rid_a"), F.col("text").alias("text_a"))
+    tb = _side(texts).select(F.col("rid").alias("rid_b"), F.col("text").alias("text_b"))
+    with_text = survivors.join(ta, "rid_a").join(tb, "rid_b")
+    return with_text.select(
+        "rid_a",
+        "rid_b",
+        "overlap",
+        "size_a",
+        "size_b",
+        "sim",
+        F.levenshtein("text_a", "text_b").alias("lev"),
+        _jw_udf()("text_a", "text_b").alias("jw"),
+    )
+
+
+def fused_matches(
+    encoded: DataFrame,
+    records: DataFrame,
+    metric: Metric,
+    alpha: float,
+    delta_max: int | None = None,
+    broadcast_keys: bool = False,
+    broadcast_records: bool = True,
+) -> DataFrame:
+    """Blocking + candidate generation + scoring fused into ONE join stage.
+
+    The prefix keys carry each record's sorted tid array
+    (blocking.prefix_keys(carry_tids=True)), so the self-join output has both
+    gram arrays in-row and overlap/similarity are computed inline by
+    whole-stage codegen — no second join against the record table, no
+    intermediate (rid_a, rid_b) materialization, no broadcast hash builds on
+    the driver (with ``broadcast_keys=False`` the self-join shuffles both
+    sides by ``tid``: fully parallel, AQE-skew-splittable — the strategy that
+    survives at cluster scale where neither side broadcasts).
+
+    Plan shape: shuffle(keys) ⋈ shuffle(keys) → filter(length + positional +
+    sim>=alpha) → dropDuplicates(rid_a, rid_b) [tiny survivor set] →
+    broadcast-join texts → levenshtein + Jaro-Winkler.  Carrying the tid
+    arrays through the key shuffle costs ~avg_prefix_len× duplication of each
+    record's array (the classic PPJoin space/time trade-off); candidates that
+    fail the pair filters never touch a hash table or a second stage.
+
+    Same output as candidate_pairs(dedup=False) → score_pairs(dedup_pairs=
+    True) — asserted by tests/test_linkage.py.
+    """
+    keys = prefix_keys(encoded, metric, alpha, delta_max=delta_max, carry_tids=True)
+
+    a = keys.select(
+        "tid",
+        F.col("rid").alias("rid_a"),
+        F.col("msize").alias("size_a"),
+        F.col("kappa").alias("kappa_a"),
+        F.col("delta").alias("delta_a"),
+        F.col("tmass").alias("tmass_a"),
+        F.col("tids").alias("tids_a"),
+    )
+    b = keys.select(
+        "tid",
+        F.col("rid").alias("rid_b"),
+        F.col("msize").alias("size_b"),
+        F.col("kappa").alias("kappa_b"),
+        F.col("delta").alias("delta_b"),
+        F.col("tmass").alias("tmass_b"),
+        F.col("tids").alias("tids_b"),
+    )
+    if broadcast_keys:
+        b = F.broadcast(b)
+
+    ub = F.least(
+        F.col("tmass_a") + F.col("kappa_a") * F.col("delta_b"),
+        F.col("tmass_b") + F.col("kappa_b") * F.col("delta_a"),
+    )
+    t = metric.threshold(alpha, F.col("size_a"), F.col("size_b"))
+    joined = a.join(b, "tid", "inner").where(
+        (F.col("rid_a") < F.col("rid_b"))
+        & F.col("size_b").between(
+            metric.min_y(alpha, F.col("size_a")), metric.max_y(alpha, F.col("size_a"))
+        )
+        & (ub >= t)
+    )
+    sim = metric.similarity(F.col("overlap"), F.col("size_a"), F.col("size_b"))
+    survivors = (
+        joined.withColumn("overlap", overlap_col().cast("int"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= alpha)
+        .select("rid_a", "rid_b", "overlap", "size_a", "size_b", "sim")
+        .dropDuplicates(["rid_a", "rid_b"])
+    )
+    return attach_tiebreakers(survivors, records, broadcast_records=broadcast_records)
+
+
 def score_pairs(
     pairs: DataFrame,
     records: DataFrame,
@@ -147,23 +273,9 @@ def score_pairs(
     )
     enriched = pairs.join(a, "rid_a").join(b, "rid_b")
 
-    # fast path: duplicate-free on both sides (the overwhelming majority) →
-    # multiset product == set intersection size (hash-based, O(|A|+|B|));
-    # exact product only when a side has duplicate normalized grams
-    dup_free = (F.col("delta_a") == 0) & (F.col("delta_b") == 0)
-    product = F.aggregate(
-        F.array_distinct("tids_a"),
-        F.lit(0),
-        lambda acc, t: acc
-        + F.size(F.filter("tids_a", lambda x: x == t))
-        * F.size(F.filter("tids_b", lambda x: x == t)),
-    )
-    overlap = F.when(
-        dup_free, F.size(F.array_intersect("tids_a", "tids_b"))
-    ).otherwise(product)
     sim = metric.similarity(F.col("overlap"), F.col("size_a"), F.col("size_b"))
     survivors = (
-        enriched.withColumn("overlap", overlap.cast("int"))
+        enriched.withColumn("overlap", overlap_col().cast("int"))
         .withColumn("sim", sim)
         .where(F.col("sim") >= alpha)
         .select("rid_a", "rid_b", "overlap", "size_a", "size_b", "sim")
@@ -173,20 +285,4 @@ def score_pairs(
         # shared prefix grams are collapsed HERE, on the tiny survivor set
         survivors = survivors.dropDuplicates(["rid_a", "rid_b"])
 
-    # Stage 2 — tie-breakers on SURVIVORS only (orders of magnitude fewer
-    # rows): JVM levenshtein + Arrow-batched Jaro-Winkler pandas UDF.
-    texts = records.select("rid", "text")
-    ta = _side(texts).select(F.col("rid").alias("rid_a"), F.col("text").alias("text_a"))
-    tb = _side(texts).select(F.col("rid").alias("rid_b"), F.col("text").alias("text_b"))
-    with_text = survivors.join(ta, "rid_a").join(tb, "rid_b")
-
-    return with_text.select(
-        "rid_a",
-        "rid_b",
-        "overlap",
-        "size_a",
-        "size_b",
-        "sim",
-        F.levenshtein("text_a", "text_b").alias("lev"),
-        _jw_udf()("text_a", "text_b").alias("jw"),
-    )
+    return attach_tiebreakers(survivors, records, broadcast_records=broadcast_records)

@@ -133,6 +133,34 @@ def test_scoring_matches_python_oracle(spark, pages, pages_pdf):
         assert r["lev"] >= 0
 
 
+def test_fused_matches_equals_unfused(spark, pages):
+    # the single-stage fused path (bench/scaling hot path) must produce
+    # EXACTLY the rows of candidate_pairs(dedup=False) → score_pairs(
+    # dedup_pairs=True), for both join strategies
+    from suggest_spark.linkage.blocking import encode_records
+    from suggest_spark.linkage.scoring import fused_matches
+
+    cfg = LinkageConfig(metric=JACCARD, alpha=ALPHA)
+    records = build_records(pages, cfg).cache()
+    encoded = encode_records(records).cache()
+    pairs = candidate_pairs(encoded, JACCARD, ALPHA, dedup=False)
+    want = {
+        (r["rid_a"], r["rid_b"], r["overlap"], r["size_a"], r["size_b"], r["sim"])
+        for r in score_pairs(
+            pairs, records, JACCARD, ALPHA, dedup_pairs=True, encoded=encoded
+        ).collect()
+    }
+    assert want
+    for bk in (False, True):
+        got = {
+            (r["rid_a"], r["rid_b"], r["overlap"], r["size_a"], r["size_b"], r["sim"])
+            for r in fused_matches(
+                encoded, records, JACCARD, ALPHA, broadcast_keys=bk
+            ).collect()
+        }
+        assert got == want
+
+
 def test_jaro_winkler_known_values():
     # classic published examples
     assert jaro_winkler_py("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
