@@ -85,9 +85,17 @@ def main() -> None:
 
     t0 = time.time()
     encoded = encode_records(records).persist()
-    cand = candidate_pairs(encoded, cfg.metric, cfg.alpha, dedup=False)
+    cand = candidate_pairs(
+        encoded, cfg.metric, cfg.alpha, dedup=False, broadcast_keys=True
+    )
     matches = score_pairs(
-        cand, records, cfg.metric, cfg.alpha, dedup_pairs=True, encoded=encoded
+        cand,
+        records,
+        cfg.metric,
+        cfg.alpha,
+        dedup_pairs=True,
+        encoded=encoded,
+        broadcast_records=True,
     ).persist()
     n_matches = matches.count()
     t_bs = time.time() - t0
