@@ -75,7 +75,12 @@ def suggest_topk(
     Returns ``(query_id, query, doc_id, score, rank[, value])`` ordered by
     (query_id, rank).
     """
-    grams = _query_grams(queries, config)
+    # the query STRING never enters the hot path: the join output and the
+    # hash-agg key are all-int (query_id, size_a, doc_id, size) — at web
+    # scale the candidate stream is 10^2-10^3 rows per (query, doc) gram
+    # match, and carrying a string through it roughly doubles shuffle and
+    # hash-table bytes.  The text is re-attached to the tiny top-k result.
+    grams = _query_grams(queries, config).drop("query")
     if broadcast_queries:
         grams = F.broadcast(grams)
 
@@ -86,9 +91,9 @@ def suggest_topk(
         index_df,
         on=[grams["term"] == index_df["term"], index_df["size"].between(min_b, max_b)],
         how="inner",
-    ).select("query_id", "query", "size_a", "doc_id", "size")
+    ).select("query_id", "size_a", "doc_id", "size")
 
-    overlap = joined.groupBy("query_id", "query", "size_a", "doc_id", "size").agg(
+    overlap = joined.groupBy("query_id", "size_a", "doc_id", "size").agg(
         F.count(F.lit(1)).cast("int").alias("overlap")
     )
 
@@ -103,7 +108,6 @@ def suggest_topk(
 
     scored = candidates.select(
         "query_id",
-        "query",
         "doc_id",
         metric.similarity(F.col("overlap"), F.col("size_a"), F.col("size")).alias("score"),
     )
@@ -112,12 +116,15 @@ def suggest_topk(
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .join(F.broadcast(queries.select("query_id", "query")), "query_id")
     )
 
     if dictionary is not None:
         topk = topk.join(F.broadcast(dictionary), "doc_id", "left")
 
-    return topk.orderBy("query_id", "rank")
+    return topk.select(
+        "query_id", "query", *[c for c in topk.columns if c not in ("query_id", "query")]
+    ).orderBy("query_id", "rank")
 
 
 def autocomplete_firstk(
@@ -135,23 +142,26 @@ def autocomplete_firstk(
 
     Query grams use the head-only wrap (pkg/suggest/tokenizer.go:22-34).
     """
-    grams = F.broadcast(_query_grams(queries, config, head_only=True))
+    # all-int hot path, query text re-attached post-top-k (see suggest_topk)
+    grams = F.broadcast(_query_grams(queries, config, head_only=True).drop("query"))
 
     joined = grams.join(
         index_df,
         on=[grams["term"] == index_df["term"], index_df["size"] >= grams["size_a"]],
         how="inner",
-    ).select("query_id", "query", "size_a", "doc_id")
+    ).select("query_id", "size_a", "doc_id")
 
     matched = (
-        joined.groupBy("query_id", "query", "size_a", "doc_id")
+        joined.groupBy("query_id", "size_a", "doc_id")
         .agg(F.count(F.lit(1)).cast("int").alias("overlap"))
         .where(F.col("overlap") >= F.col("size_a"))
     )
 
     w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
     topk = matched.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-    out = topk.select("query_id", "query", "doc_id", "rank")
+    out = topk.join(F.broadcast(queries.select("query_id", "query")), "query_id").select(
+        "query_id", "query", "doc_id", "rank"
+    )
 
     if dictionary is not None:
         out = out.join(F.broadcast(dictionary), "doc_id", "left")
