@@ -55,12 +55,25 @@ def cosine_topk(
     Queries are broadcast (bounded batch); the corpus streams — one pass,
     no shuffle of the corpus.  Ties broken by ascending neighbor id.
     """
+    # norms are per-ROW, computed once per side before the Q x N join —
+    # computing cosine() per pair would redo norm(qv) N times and norm(nv)
+    # Q times (2/3 of the arithmetic of the whole scan)
     q = F.broadcast(
-        queries.select(F.col(query_id).alias("qid"), F.col(vec).alias("qv"))
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec).alias("qv"),
+            norm(F.col(vec)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(corpus_id).alias("nid"), F.col(vec).alias("nv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(vec).alias("nv"),
+        norm(F.col(vec)).alias("nn"),
+    )
     scored = q.join(c, F.col("qid") != F.col("nid")).select(
-        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+        "qid",
+        "nid",
+        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -122,16 +135,20 @@ def signlsh_topk(
         queries.select(
             F.col(query_id).alias("qid"),
             F.col(vec).alias("qv"),
+            norm(F.col(vec)).alias("qn"),
             sign_bucket(F.col(vec), planes).alias("bucket"),
         )
     )
     c = corpus.select(
         F.col(corpus_id).alias("nid"),
         F.col(vec).alias("nv"),
+        norm(F.col(vec)).alias("nn"),
         sign_bucket(F.col(vec), planes).alias("bucket"),
     )
     scored = q.join(c, "bucket").where(F.col("qid") != F.col("nid")).select(
-        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+        "qid",
+        "nid",
+        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

@@ -118,22 +118,37 @@ def jaccard_near_dup_pairs(
 
 
 def minhash_signature(shingles: F.Column, n_hashes: int) -> F.Column:
-    """array<string> of ``n_hashes`` min-hash values (md5-hex min per seed)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}\x1f"), s)))
+    """array<string> of ``n_hashes`` min-hash values.
+
+    Hash family: lane ``i`` is the 8-hex-digit (32-bit) slice ``i mod 4`` of
+    ``md5(seed_{i div 4} || '\\x1f' || shingle)`` — four independent lanes
+    per digest, so ``ceil(n/4)`` md5 evaluations per shingle instead of
+    ``n`` (md5 dominates signature cost; its output bits are independent, so
+    disjoint slices are independent uniform 32-bit hashes).  Min per lane is
+    taken on the hex string: fixed-width hex order == integer order."""
+    mins = []
+    for seed in range((n_hashes + 3) // 4):
+        digest = F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}\x1f"), s))
+        )
+        for lane in range(min(4, n_hashes - 4 * seed)):
+            mins.append(
+                F.array_min(
+                    F.transform(digest, lambda h: F.substring(h, lane * 8 + 1, 8))
+                )
             )
-            for seed in range(n_hashes)
-        ]
-    )
+    return F.array(*mins)
 
 
 def duckdb_minhash_sql(shingles_expr: str, n_hashes: int) -> str:
-    parts = [
-        f"list_min(list_transform({shingles_expr}, s -> md5('{seed}' || chr(31) || s)))"
-        for seed in range(n_hashes)
-    ]
+    parts = []
+    for seed in range((n_hashes + 3) // 4):
+        digest = f"list_transform({shingles_expr}, s -> md5('{seed}' || chr(31) || s))"
+        for lane in range(min(4, n_hashes - 4 * seed)):
+            lo, hi = lane * 8 + 1, lane * 8 + 8
+            parts.append(
+                f"list_min(list_transform({digest}, h -> h[{lo}:{hi}]))"
+            )
     return "[" + ", ".join(parts) + "]"
 
 
