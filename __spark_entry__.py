@@ -347,6 +347,60 @@ SELECT doc_id, {dedup.duckdb_simhash_sql('shingles')} AS simhash FROM sh
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier: vectors ∪ perturbed near-copies
+    (vec_id+100000, element i shifted by 0.05·((i mod 3)−1)) of every 5th
+    vector; banded sign-LSH blocking + exact cosine verify at 0.9."""
+    emb = _embeddings(spark, sf_dir)
+    near = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(0.05) * ((i % 3) - 1).cast("double"),
+        ).alias("embedding"),
+    )
+    out = ann.cosine_near_dup_pairs(
+        emb.unionByName(near), 0.9, n_bands=4, n_planes=4, dim=64, seed=42
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def sql_dedup_embedding() -> str:
+    perturbed = (
+        "list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) "
+        "+ CAST(0.05 AS DOUBLE) * CAST(((j - 1) % 3) - 1 AS DOUBLE))"
+    )
+    bands = []
+    for band in range(4):
+        planes = ann.make_sign_planes(4, 64, seed=42 + 1000 * band)
+        bands.append(
+            f"SELECT id, v, n, '{band}|' || {ann.duckdb_sign_bucket_sql('v', planes)} AS bucket FROM vecs"
+        )
+    banded = " UNION ALL ".join(bands)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, {perturbed} AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+vecs AS (SELECT vec_id AS id, embedding AS v, {_SQL_NORM.format(a='embedding')} AS n FROM base),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         {_SQL_DOT.format(a='va.v', b='vb.v')} / (va.n * vb.n) AS cosine
+  FROM cand c
+  JOIN vecs va ON va.id = c.id_a
+  JOIN vecs vb ON vb.id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM verified WHERE cosine >= CAST(0.9 AS DOUBLE)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -716,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_jaccard_shingles": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine,
         "ann_signlsh_topk": q_ann_signlsh,
         "lang_id": q_lang_id,
@@ -746,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_jaccard_shingles": SQL_DEDUP_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_embedding_cosine": sql_dedup_embedding(),
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_signlsh_topk": sql_ann_signlsh(),
         "lang_id": SQL_LANG_ID,

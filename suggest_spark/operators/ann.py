@@ -118,6 +118,57 @@ def duckdb_sign_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return " || ".join(bits)
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_bands: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: ``(id_a, id_b, cosine)`` with
+    cosine >= threshold (the embedding tier of the dedup suite).
+
+    Blocking: ``n_bands`` independent random-hyperplane sign buckets (bands
+    share nothing, like MinHash-LSH bands) — a pair is a candidate if ALL
+    ``n_planes`` signs agree in at least one band; P[band collision] =
+    (1 − θ/π)^n_planes with θ the pair's angle, so near-dup pairs (θ→0)
+    are caught with probability ≥ 1−(1−(1−θ/π)^p)^b.  Exact cosine verify
+    on candidates only.  The per-band equi-join self-join inherits the
+    skew strategy of every other blocking stage (AQE skew split).
+    """
+    planes = [
+        make_sign_planes(n_planes, dim, seed + 1000 * band) for band in range(n_bands)
+    ]
+    ids = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v"),
+        norm(F.col(vec)).alias("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(band)), sign_bucket(F.col(vec), planes[band]))
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = ids.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = ids.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def signlsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
