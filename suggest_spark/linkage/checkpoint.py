@@ -16,6 +16,15 @@ restart mid-pipeline therefore costs only the unfinished stages.  A partial
 write (crash before manifest) has no manifest → recomputed.  Writes go to a
 temp dir then atomically rename, so a manifest never describes a half-written
 directory.
+
+Partition-granular recovery is split across two layers, matching Spark's
+execution model: WITHIN a running stage, lost or straggling partitions are
+re-executed by Spark's own task retry/speculation (no engine code needed —
+and no manifest can beat the scheduler at this); ACROSS process restarts,
+recovery is stage-granular by manifest.  The per-partition entries in the
+manifest are the audit trail (row counts + bytes per output file) that lets
+an operator verify a restored stage partition-by-partition rather than a
+resume index.
 """
 
 from __future__ import annotations
