@@ -489,6 +489,52 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    out = ann.ivf_topk(queries, emb, 5, n_centroids=8, n_probe=2, dim=64, seed=42)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def sql_ann_ivf() -> str:
+    cs = ann.make_ivf_centroids(8, 64, seed=42)
+
+    def lit_list(c):
+        return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "]"
+
+    def dots(expr):
+        return "[" + ", ".join(_SQL_DOT.format(a=expr, b=lit_list(c)) for c in cs) + "]"
+
+    dn, dq = dots("nv"), dots("qv")
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (
+  SELECT vec_id AS nid, v AS nv, {_SQL_NORM.format(a='v')} AS nn,
+         list_position({dn.replace('nv', 'v')}, list_max({dn.replace('nv', 'v')})) AS cell
+  FROM emb
+),
+qbase AS (
+  SELECT vec_id AS qid, v AS qv, {_SQL_NORM.format(a='v')} AS qn,
+         list_sort(list_transform(range(1, 9),
+                   i -> {{'nd': -(({dq.replace('qv', 'v')})[i]), 'i': i}})) AS ranked
+  FROM emb WHERE vec_id < 20
+),
+q1 AS (SELECT qid, qv, qn, unnest(ranked[1:2]) AS pr FROM qbase),
+q AS (SELECT qid, qv, qn, pr.i AS cell FROM q1),
+scored AS (
+  SELECT q.qid, c.nid, {_SQL_DOT.format(a='q.qv', b='c.nv')} / (q.qn * c.nn) AS cos
+  FROM q JOIN c USING (cell) WHERE q.qid != c.nid
+),
+ranked2 AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked2 WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -773,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine,
         "ann_signlsh_topk": q_ann_signlsh,
+        "ann_ivf_topk": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -804,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": sql_dedup_embedding(),
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_signlsh_topk": sql_ann_signlsh(),
+        "ann_ivf_topk": sql_ann_ivf(),
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,

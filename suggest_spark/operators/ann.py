@@ -118,6 +118,95 @@ def duckdb_sign_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return " || ".join(bits)
 
 
+def make_ivf_centroids(n_centroids: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids (seeded Gaussian).
+
+    Random unit centroids give an unbiased Voronoi partition of the sphere —
+    the IVF *plumbing* (assign → probe → rerank) is identical to a trained
+    quantizer's; swap in k-means centroids via the ``centroids`` argument of
+    :func:`ivf_topk` when recall targets demand data-adaptive cells.
+    Literal-inlined so external oracles reproduce cell assignment exactly."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_centroids, dim)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(v) for v in row] for row in c]
+
+
+def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[dot(vec_col, F.array(*[F.lit(v) for v in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in the Voronoi cell
+    of their nearest coarse centroid; each query probes its ``n_probe``
+    nearest cells and exact-reranks only those candidates.
+
+    Scale shape: the corpus is partitioned ONCE by cell (at real scale:
+    written ``partitionBy("cell")`` so probes prune partitions — same
+    pruning mechanism as the suggest index's size segments); per query the
+    candidate set shrinks from N to ~N·n_probe/n_centroids.
+    """
+    cs = centroids if centroids is not None else make_ivf_centroids(n_centroids, dim, seed)
+    n_c = len(cs)
+
+    c_dots = _centroid_dots(F.col("nv"), cs)
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(vec).alias("nv"),
+        norm(F.col(vec)).alias("nn"),
+    ).withColumn("cell", F.array_position(c_dots, F.array_max(c_dots)).cast("int"))
+
+    # query: top n_probe cells by centroid dot — sort (−dot, idx) asc so
+    # ties break on ascending cell index (mirrored in the SQL oracle)
+    q_dots = _centroid_dots(F.col("qv"), cs)
+    ranked = F.array_sort(
+        F.transform(
+            q_dots,
+            lambda d, i: F.struct((-d).alias("nd"), (i + 1).cast("int").alias("i")),
+        )
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec).alias("qv"),
+            norm(F.col(vec)).alias("qn"),
+        )
+        .withColumn("probe", F.explode(F.slice(ranked, 1, n_probe)))
+        .select("qid", "qv", "qn", F.col("probe")["i"].alias("cell"))
+    )
+
+    scored = q.join(c, "cell").where(F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
