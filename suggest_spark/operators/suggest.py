@@ -127,6 +127,172 @@ def suggest_topk(
     ).orderBy("query_id", "rank")
 
 
+def term_document_frequency(index_df: DataFrame) -> DataFrame:
+    """``(term, df)`` global document frequency over the index — compute once
+    at index-build time and persist alongside it (it is to the suggest path
+    what the rarity table is to blocking)."""
+    return index_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def suggest_topk_prefix(
+    index_df: DataFrame,
+    queries: DataFrame,
+    metric: Metric,
+    alpha: float,
+    k: int,
+    config: IndexConfig = DEFAULT_CONFIG,
+    dictionary: DataFrame | None = None,
+    term_df: DataFrame | None = None,
+    doc_terms: DataFrame | None = None,
+    delta_max: int | None = None,
+) -> DataFrame:
+    """Exact top-k suggest via the distributed CPMerge prefix filter.
+
+    Identical results to :func:`suggest_topk` (asserted by tests), but the
+    candidate join probes only each query's RAREST ``L − T_min + 1`` grams
+    (reference O3, pkg/merger/cp_merge.go:21-32: only the N−T+1 shortest
+    posting lists can introduce a candidate), where
+    ``T_min = Threshold(alpha, L, MinY(alpha, L))`` — the minimum count
+    threshold over the admissible candidate-size range (T is non-decreasing
+    in the candidate size for every reference metric, so the bound at MinY
+    is sound for the whole range).  Soundness of the prefix: if B shares
+    >= T_min grams with A, then by pigeonhole B shares at least one gram of
+    ANY (L − T_min + 1)-subset of A's grams — we pick the globally rarest
+    subset, so hot-gram posting lists never enter the candidate join (the
+    same df-rarity trick the blocking stage uses against skew).
+
+    Both sides are MULTISETS (normalization can re-create duplicate grams
+    after the raw-gram dedup — analysis.py chain order), so the bound and
+    the verify both use the multiset machinery of linkage/blocking.py:
+
+    * prefix slack: keep occurrence rank p iff
+      ``tailmass(p) + kappa_A * delta_max >= T_min``, where ``kappa_A`` is
+      A's max gram multiplicity (bounded by 1 + duplicate excess) and
+      ``delta_max`` the corpus-wide max duplicate excess (0 on duplicate-
+      free data → classic prefix);
+    * verify: overlap = Σ_t mult_A(t)·mult_B(t), the exact ScanCount
+      product of the groupBy-count in the unfiltered plan (dup-free fast
+      path = plain ``array_intersect`` size).
+
+    ``doc_terms``: ``(doc_id, size, terms)`` as produced by
+    ``indexing.with_terms`` over the dictionary — derived from the index by
+    a one-off groupBy when not supplied (suboptimal; pass it).
+    ``delta_max``: pass the precomputed corpus constant to keep the driver
+    action out of the hot path.
+
+    WHEN TO USE: the prefix path trades the full gram-match scan for a
+    probe join + a candidate-verify shuffle against ``doc_terms``.  It wins
+    when the match stream dwarfs the candidate set — very large corpora,
+    skew-heavy gram distributions, or memory-bound clusters where the
+    unfiltered stream cannot materialize.  Measured on a 236k-entry
+    dictionary (1000 queries, local[32]) it does NOT yet win — plain
+    18.3s vs prefix 48.3s at Cosine α=0.5, 11.2s vs 14.3s at α=0.8 —
+    because the verify shuffle costs more than the stream it saves at this
+    scale; both paths return identical rows (tests + 1000-query sweep).
+    """
+    if term_df is None:
+        term_df = term_document_frequency(index_df)
+    if doc_terms is None:
+        doc_terms = index_df.groupBy("doc_id", "size").agg(
+            F.collect_list("term").alias("terms")
+        )
+
+    q = with_terms(queries, "query", config).select(
+        "query_id", F.col("size").alias("size_a"), F.col("terms").alias("qterms")
+    )
+
+    if delta_max is None:
+        row = doc_terms.agg(
+            F.max(F.size("terms") - F.size(F.array_distinct("terms"))).alias("d")
+        ).first()
+        delta_max = int(row["d"] or 0)
+
+    # probe set: rarest occurrence ranks with tailmass + kappa*delta_max
+    # slack (absent-from-index grams have df 0 = rarest; they occupy
+    # prefix slots, which the pigeonhole requires — they are A's grams)
+    b_min = F.greatest(metric.min_y(alpha, F.col("size_a")), F.lit(1))
+    t_min = F.greatest(metric.threshold(alpha, F.col("size_a"), b_min), F.lit(1))
+    kappa_a = F.lit(1) + (F.col("size_a") - F.size(F.array_distinct("qterms")))
+    exploded = q.select(
+        "query_id",
+        "size_a",
+        t_min.alias("t_min"),
+        kappa_a.alias("kappa_a"),
+        F.explode("qterms").alias("term"),
+    ).join(F.broadcast(term_df), "term", "left").fillna({"df": 0})
+    w = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+    probes = (
+        exploded.withColumn("pos", F.row_number().over(w))
+        .where(
+            F.col("size_a") - F.col("pos") + 1 + F.col("kappa_a") * F.lit(delta_max)
+            >= F.col("t_min")
+        )
+        .select("query_id", "size_a", "term")
+        .dropDuplicates(["query_id", "term"])
+    )
+
+    # candidate pairs from prefix probes only (distinct — multiple probe
+    # hits introduce the same candidate once)
+    min_b = metric.min_y(alpha, F.col("size_a"))
+    max_b = metric.max_y(alpha, F.col("size_a"))
+    cands = (
+        F.broadcast(probes)
+        .join(
+            index_df,
+            on=[probes["term"] == index_df["term"], index_df["size"].between(min_b, max_b)],
+            how="inner",
+        )
+        .select("query_id", "size_a", "doc_id", "size")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+    # verify: exact ScanCount multiset product on candidates only
+    enriched = cands.join(F.broadcast(q.select("query_id", "qterms")), "query_id").join(
+        doc_terms.select("doc_id", F.col("terms").alias("dterms")), "doc_id"
+    )
+    dup_free = (F.col("size_a") == F.size(F.array_distinct("qterms"))) & (
+        F.col("size") == F.size(F.array_distinct("dterms"))
+    )
+    product = F.aggregate(
+        F.array_distinct("qterms"),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.size(F.filter("qterms", lambda x: x == t))
+        * F.size(F.filter("dterms", lambda x: x == t)),
+    )
+    overlap = F.when(
+        dup_free, F.size(F.array_intersect("qterms", "dterms"))
+    ).otherwise(product)
+    t = metric.threshold(alpha, F.col("size_a"), F.col("size"))
+    scored = (
+        enriched.withColumn("overlap", overlap)
+        .withColumn("t", t)
+        .where(
+            (F.col("t") >= 1)
+            & (F.col("t") <= F.col("size_a"))
+            & (F.col("t") <= F.col("size"))
+            & (F.col("overlap") >= F.col("t"))
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            metric.similarity(F.col("overlap"), F.col("size_a"), F.col("size")).alias("score"),
+        )
+    )
+
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(queries.select("query_id", "query")), "query_id")
+    )
+    if dictionary is not None:
+        topk = topk.join(F.broadcast(dictionary), "doc_id", "left")
+    return topk.select(
+        "query_id", "query", *[c for c in topk.columns if c not in ("query_id", "query")]
+    ).orderBy("query_id", "rank")
+
+
 def autocomplete_firstk(
     index_df: DataFrame,
     queries: DataFrame,

@@ -135,3 +135,72 @@ def test_scores_match_reference_formula(spark, cars8_index):
     expected = J.similarity_py(inter, len(a), len(b))
     assert rows[0]["doc_id"] == 2
     assert abs(rows[0]["score"] - expected) < 1e-15
+
+
+def test_prefix_path_equals_plain_path(spark, cars8_index):
+    # suggest_topk_prefix (distributed CPMerge prefix filter) must return
+    # EXACTLY the rows of the unfiltered plan, for every metric, on both
+    # golden queries and noisy ones
+    from suggest_spark.functions.metrics import DICE, OVERLAP
+    from suggest_spark.operators.suggest import suggest_topk_prefix
+
+    dictionary, index = cars8_index
+    queries = spark.createDataFrame(
+        [
+            (0, "Nissan ma"),
+            (1, "niss ma"),
+            (2, "Honda f"),
+            (3, "zzzz qqqq"),
+            (4, ""),
+            (5, "Toyota Corolla"),
+        ],
+        "query_id long, query string",
+    )
+    for metric, alpha in [(JACCARD, 0.5), (COSINE, 0.4), (DICE, 0.6), (OVERLAP, 0.8)]:
+        plain = [
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in suggest_topk(index, queries, metric, alpha, 3, DEFAULT_CONFIG).collect()
+        ]
+        pref = [
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in suggest_topk_prefix(
+                index, queries, metric, alpha, 3, DEFAULT_CONFIG
+            ).collect()
+        ]
+        assert pref == plain, f"{metric.name} alpha={alpha}"
+
+
+def test_prefix_path_multiset_duplicates(spark):
+    # normalization can re-create duplicate grams after raw-gram dedup
+    # ("kamaz kaliri" -> '$ka' twice: once from the wrap, once from the
+    # normalized space); overlap is then the ScanCount multiset PRODUCT,
+    # which the prefix path must reproduce (and its prefix bound must
+    # widen by kappa*delta_max)
+    from suggest_spark.operators.suggest import suggest_topk_prefix
+
+    vals = [
+        "kamaz kaliri",     # duplicate '$ka' after normalize
+        "kamazmoliri",
+        "kamaz kamaz",      # heavy duplication
+        "lada kalina",
+        "toyota corolla",
+    ]
+    d = spark.createDataFrame(list(enumerate(vals)), "doc_id long, value string")
+    index = build_ngram_index(d, config=DEFAULT_CONFIG).cache()
+    queries = spark.createDataFrame(
+        [(0, "kamazmoliri"), (1, "kamaz kal"), (2, "kamaz kamaz"), (3, "lada")],
+        "query_id long, query string",
+    )
+    for metric, alpha in [(JACCARD, 0.3), (COSINE, 0.5)]:
+        plain = [
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in suggest_topk(index, queries, metric, alpha, 4, DEFAULT_CONFIG).collect()
+        ]
+        pref = [
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in suggest_topk_prefix(
+                index, queries, metric, alpha, 4, DEFAULT_CONFIG
+            ).collect()
+        ]
+        assert pref == plain, f"{metric.name} alpha={alpha}"
+        assert plain, "fixture must produce matches"
