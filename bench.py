@@ -157,6 +157,47 @@ def main() -> None:
     extra["linkage_matches"] = n_matches
     extra["linkage_clusters"] = n_clusters
     extra["candidate_pairs_per_sec"] = round(n_pairs / max(t_bs, 1e-9), 1)
+    # pairwise F1 vs reference-semantics oracle on a deterministic sample
+    # (north-rule criterion >= 0.99; exhaustive python oracle over the
+    # sample's pairs — the same oracle the tests run at full size)
+    from suggest_spark.functions.analysis import tokenize
+    from suggest_spark.linkage.scoring import overlap_py
+
+    # sample = every page of the first 150 entities (rid-ordering would be
+    # entity-uniform and catch almost no positive pairs)
+    from suggest_spark.sources.synth import url_id_py
+
+    sample = pages.where(F.col("entity_id") < 150).select("url", "text").collect()
+    toks = {url_id_py(r["url"]): tokenize(r["text"]) for r in sample}
+    rids = sorted(toks)
+    rid_set = set(rids)
+    oracle_pairs = set()
+    for i, ra in enumerate(rids):
+        ta = toks[ra]
+        if not ta:
+            continue
+        for rb in rids[i + 1 :]:
+            tb = toks[rb]
+            if not tb:
+                continue
+            sim = cfg.metric.similarity_py(overlap_py(ta, tb), len(ta), len(tb))
+            if sim >= cfg.alpha:
+                oracle_pairs.add((ra, rb))
+    got_pairs = {
+        (r["rid_a"], r["rid_b"])
+        for r in matches.select("rid_a", "rid_b").collect()
+        if r["rid_a"] in rid_set and r["rid_b"] in rid_set
+    }
+    tp = len(oracle_pairs & got_pairs)
+    fp = len(got_pairs - oracle_pairs)
+    fn = len(oracle_pairs - got_pairs)
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    extra["pairwise_f1_sample"] = round(
+        2 * prec * rec / (prec + rec) if prec + rec else 0.0, 4
+    )
+    extra["f1_sample_pairs"] = len(oracle_pairs)
+
     records.unpersist()
     encoded.unpersist()
     matches.unpersist()
