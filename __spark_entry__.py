@@ -87,6 +87,27 @@ def q_suggest(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS):
     return run
 
 
+def q_suggest_prefix(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS):
+    """Same query through the prefix-filtered path (suggest_topk_prefix) —
+    oracle SQL is shared with the plain path because the results are
+    row-identical by construction (exactness proven in tests; this entry
+    lets the driver's value-hash gate verify it independently)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from suggest_spark.operators.suggest import suggest_topk_prefix
+
+        dictionary = _part_dictionary(spark, sf_dir)
+        index = build_ngram_index(dictionary, config=CFG)
+        out = suggest_topk_prefix(
+            index, _literals_df(spark, literals), metric, alpha, k, CFG
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    return run
+
+
 def sql_suggest(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS) -> str:
     terms_v = duckdb_terms_sql("value", CFG)
     terms_q = duckdb_terms_sql("query", CFG)
@@ -809,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_dice_topk": q_suggest(DICE, 0.6, 5),
         "suggest_overlap_topk": q_suggest(OVERLAP, 0.8, 5),
         "suggest_exact_match": q_suggest(EXACT, 1.0, 5, EXACT_LITERALS),
+        "suggest_prefix_jaccard_topk": q_suggest_prefix(JACCARD, 0.5, 5),
         "autocomplete_firstk": q_autocomplete(5),
         "ngram_index_build": q_index_build,
         "selfjoin_jaccard": q_selfjoin_jaccard,
@@ -841,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_dice_topk": sql_suggest(DICE, 0.6, 5),
         "suggest_overlap_topk": sql_suggest(OVERLAP, 0.8, 5),
         "suggest_exact_match": sql_suggest(EXACT, 1.0, 5, EXACT_LITERALS),
+        "suggest_prefix_jaccard_topk": sql_suggest(JACCARD, 0.5, 5),
         "autocomplete_firstk": sql_autocomplete(5),
         "ngram_index_build": SQL_INDEX_BUILD,
         "selfjoin_jaccard": SQL_SELFJOIN_JACCARD,
