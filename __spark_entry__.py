@@ -526,18 +526,18 @@ def sql_ann_ivf() -> str:
     def dots(expr):
         return "[" + ", ".join(_SQL_DOT.format(a=expr, b=lit_list(c)) for c in cs) + "]"
 
-    dn, dq = dots("nv"), dots("qv")
+    dv = dots("v")
     return f"""
 WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 c AS (
   SELECT vec_id AS nid, v AS nv, {_SQL_NORM.format(a='v')} AS nn,
-         list_position({dn.replace('nv', 'v')}, list_max({dn.replace('nv', 'v')})) AS cell
+         list_position({dv}, list_max({dv})) AS cell
   FROM emb
 ),
 qbase AS (
   SELECT vec_id AS qid, v AS qv, {_SQL_NORM.format(a='v')} AS qn,
          list_sort(list_transform(range(1, 9),
-                   i -> {{'nd': -(({dq.replace('qv', 'v')})[i]), 'i': i}})) AS ranked
+                   i -> {{'nd': -(({dv})[i]), 'i': i}})) AS ranked
   FROM emb WHERE vec_id < 20
 ),
 q1 AS (SELECT qid, qv, qn, unnest(ranked[1:2]) AS pr FROM qbase),
@@ -708,6 +708,112 @@ SELECT sent_id, round(score, 6) AS score FROM scored
 """
 
 
+# --- reference LM analysis chain (LMConfig path) on punctuation-bearing text
+
+#: deterministic punctuation-bearing corpus: every ' a ' becomes a sentence
+#: boundary (literal replace agrees between Spark and DuckDB)
+_PUNCT_REPLACE_SPARK = "replace(text, ' a ', '. ')"
+LM_CHAIN_CFG = lm_ops.LMConfig(
+    order=3, alphabet=("english", "numbers", "-"), separators=".?!\n"
+)
+#: DuckDB RE2 equivalents of the chain's two regexes (class chars: . ? ! \n)
+_SQL_SEP_SPLIT = "string_split_regex(text, '[.?!\\n]+')"
+_SQL_CHAIN_WORDS = "regexp_extract_all(lower(s), '[a-z0-9-]+')"
+LM_SENTENCES_PUNCT = [
+    (0, "the table. the table"),
+    (1, "big data, small data!"),
+    (2, "window agg row-scan"),
+    (3, "zz qq unknown words"),
+    (4, ""),
+]
+
+
+def _punct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PUNCT_REPLACE_SPARK).alias("text")
+    )
+
+
+def q_lm_chain_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram counts through the REFERENCE LM analysis chain
+    (pkg/lm/sentence_retriever.go + pkg/lm/tokenizer.go): separator sentence
+    split → alphabet word runs → skip empty → wrap → count."""
+    counts = lm_ops.build_ngram_counts(_punct_docs(spark, sf_dir), 2, config=LM_CHAIN_CFG)
+    return counts[2].select(F.col("gram").alias("bigram"), "cnt")
+
+
+SQL_LM_CHAIN_BIGRAMS = f"""
+WITH docs AS (SELECT replace(text, ' a ', '. ') AS text FROM documents),
+sents AS (SELECT unnest({_SQL_SEP_SPLIT}) AS s FROM docs),
+w0 AS (SELECT {_SQL_CHAIN_WORDS} AS w FROM sents),
+wr AS (SELECT ['<S>'] || w || ['</S>'] AS ws FROM w0 WHERE len(w) > 0),
+bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram FROM wr)
+SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+"""
+
+
+def q_lm_backoff_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff scores where BOTH the corpus counts and the query
+    tokens go through the reference analysis chain (VERDICT r1 item #1)."""
+    counts = lm_ops.build_ngram_counts(_punct_docs(spark, sf_dir), 3, config=LM_CHAIN_CFG)
+    sents = (
+        _literals_df(spark, LM_SENTENCES_PUNCT)
+        .withColumnRenamed("query_id", "sent_id")
+        .withColumnRenamed("query", "text")
+    )
+    out = lm_ops.score_sentences(sents, counts, 3, config=LM_CHAIN_CFG)
+    return out.select("sent_id", F.round("score", 6).alias("score"))
+
+
+def sql_lm_backoff_punct() -> str:
+    f2 = lm_ops.ALPHA
+    f1 = lm_ops.ALPHA ** 2
+    rows = ", ".join(f"({i}, '{s}')" for i, s in LM_SENTENCES_PUNCT)
+    qwords = _SQL_CHAIN_WORDS.replace("lower(s)", "lower(text)")
+    return f"""
+WITH docs AS (SELECT replace(text, ' a ', '. ') AS text FROM documents),
+sents AS (SELECT unnest({_SQL_SEP_SPLIT}) AS s FROM docs),
+w0 AS (SELECT {_SQL_CHAIN_WORDS} AS w FROM sents),
+corpus AS (SELECT ['<S>'] || w || ['</S>'] AS ws FROM w0 WHERE len(w) > 0),
+c1 AS (SELECT unnest(ws) AS gram FROM corpus),
+t1 AS (SELECT gram, count(*) AS cnt FROM c1 GROUP BY gram),
+c2 AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+       FROM corpus WHERE len(ws) >= 2),
+t2 AS (SELECT gram, count(*) AS cnt FROM c2 GROUP BY gram),
+c3 AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]) AS gram
+       FROM corpus WHERE len(ws) >= 3),
+t3 AS (SELECT gram, count(*) AS cnt FROM c3 GROUP BY gram),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM t1),
+q AS (SELECT sent_id, text FROM (VALUES {rows}) AS _q(sent_id, text)),
+qw AS (SELECT sent_id, ['<S>'] || {qwords} || ['</S>'] AS ws FROM q),
+qg AS (SELECT sent_id, unnest([ws[i:i+2] for i in range(1, len(ws) - 1)]) AS g
+       FROM qw WHERE len(ws) >= 3),
+joined AS (
+  SELECT sent_id,
+         coalesce(a.cnt, 0) AS c1, coalesce(b.cnt, 0) AS c2, coalesce(c.cnt, 0) AS c3
+  FROM qg
+  LEFT JOIN t1 a ON a.gram = g[1]
+  LEFT JOIN t2 b ON b.gram = g[1] || ' ' || g[2]
+  LEFT JOIN t3 c ON c.gram = g[1] || ' ' || g[2] || ' ' || g[3]
+),
+per_gram AS (
+  SELECT sent_id,
+         CASE WHEN c3 > 0 THEN ln(CAST(1.0 AS DOUBLE) * c3 / c2)
+              WHEN c2 > 0 THEN ln(CAST({f2!r} AS DOUBLE) * c2 / c1)
+              WHEN c1 > 0 THEN ln(CAST({f1!r} AS DOUBLE) * c1 / (SELECT t FROM total))
+              ELSE CAST(-100.0 AS DOUBLE) END AS gram_score
+  FROM joined
+),
+scored AS (
+  SELECT sent_id, sum(gram_score) AS score FROM per_gram GROUP BY sent_id
+  UNION ALL
+  SELECT sent_id, CAST(0.0 AS DOUBLE) AS score FROM qw WHERE len(ws) < 3
+)
+SELECT sent_id, round(score, 6) AS score FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (aggregation / window / join mappings)
 # ---------------------------------------------------------------------------
@@ -849,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_counts": q_lm_bigrams,
         "lm_trigram_counts": q_lm_trigrams,
         "lm_backoff_score": q_lm_backoff_score,
+        "lm_chain_bigrams_punct": q_lm_chain_bigrams,
+        "lm_backoff_score_punct": q_lm_backoff_punct,
         "agg_pricing_summary": q_pricing_summary,
         "window_top_orders": q_top_orders,
         "join_customer_nation": q_customer_nation,
@@ -882,6 +990,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_counts": SQL_LM_BIGRAMS,
         "lm_trigram_counts": SQL_LM_TRIGRAMS,
         "lm_backoff_score": sql_lm_backoff_score(),
+        "lm_chain_bigrams_punct": SQL_LM_CHAIN_BIGRAMS,
+        "lm_backoff_score_punct": sql_lm_backoff_punct(),
         "agg_pricing_summary": SQL_PRICING_SUMMARY,
         "window_top_orders": SQL_TOP_ORDERS,
         "join_customer_nation": SQL_CUSTOMER_NATION,

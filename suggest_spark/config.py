@@ -20,11 +20,39 @@ _NAMED_ALPHABETS = {
     "numbers": "0-9",
 }
 
-_REGEX_SPECIALS = set("\\^]$.|?*+()[{")
+_REGEX_SPECIALS = set("\\^]$.|?*+()[{-")
 
 
 def _escape_for_char_class(chars: str) -> str:
     return "".join("\\" + c if c in _REGEX_SPECIALS else c for c in chars)
+
+
+def char_class(groups: tuple[str, ...]) -> str:
+    """Regex character-class body for a list of named groups / literal
+    strings (reference: pkg/alphabet/alphabet.go:14-36 CreateAlphabet)."""
+    parts = []
+    for group in groups:
+        if group in _NAMED_ALPHABETS:
+            parts.append(_NAMED_ALPHABETS[group])
+        else:
+            parts.append(_escape_for_char_class(group))
+    return "".join(parts)
+
+
+def allowed_char_set(groups: tuple[str, ...]) -> frozenset[str]:
+    """Materialized allowed-rune set for a list of alphabet groups."""
+    chars: set[str] = set()
+    for group in groups:
+        if group == "english":
+            chars.update(chr(c) for c in range(ord("a"), ord("z") + 1))
+        elif group == "russian":
+            chars.update(chr(c) for c in range(ord("а"), ord("я") + 1))
+            chars.add("ё")
+        elif group == "numbers":
+            chars.update(chr(c) for c in range(ord("0"), ord("9") + 1))
+        else:
+            chars.update(group)
+    return frozenset(chars)
 
 
 @dataclass(frozen=True)
@@ -39,13 +67,7 @@ class IndexConfig:
     @property
     def alphabet_char_class(self) -> str:
         """Regex character class body matching every allowed rune."""
-        parts = []
-        for group in self.alphabet:
-            if group in _NAMED_ALPHABETS:
-                parts.append(_NAMED_ALPHABETS[group])
-            else:
-                parts.append(_escape_for_char_class(group))
-        return "".join(parts)
+        return char_class(self.alphabet)
 
     @property
     def normalize_regex(self) -> str:
@@ -59,18 +81,7 @@ class IndexConfig:
     @property
     def allowed_chars(self) -> frozenset[str]:
         """Materialized allowed-rune set, for the pure-Python tokenizer."""
-        chars: set[str] = set()
-        for group in self.alphabet:
-            if group == "english":
-                chars.update(chr(c) for c in range(ord("a"), ord("z") + 1))
-            elif group == "russian":
-                chars.update(chr(c) for c in range(ord("а"), ord("я") + 1))
-                chars.add("ё")
-            elif group == "numbers":
-                chars.update(chr(c) for c in range(ord("0"), ord("9") + 1))
-            else:
-                chars.update(group)
-        return frozenset(chars)
+        return allowed_char_set(self.alphabet)
 
 
 #: The reference test configuration (reference: pkg/suggest/ngram_index_test.go:216-223).

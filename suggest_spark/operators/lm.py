@@ -25,26 +25,106 @@ CASE cascade — no Python anywhere.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..config import _escape_for_char_class, char_class
 
 ALPHA = 0.4  # pkg/lm/ngram_model.go:25
 UNKNOWN = -100.0  # pkg/lm/ngram_model.go:23-24
 START, END = "<S>", "</S>"
 
 
-def _wrapped_words(text_col):
+@dataclass(frozen=True)
+class LMConfig:
+    """LM build configuration, mirroring the reference's lm.Config
+    (pkg/lm/config.go:14-29): a words alphabet, a separators alphabet and
+    wrap symbols.  The corpus chain is then exactly
+    pkg/lm/sentence_retriever.go:23-81 + pkg/lm/tokenizer.go:25-30:
+
+    1. split the raw text into sentences on runs of separator runes
+       (empty pieces are never produced — leading separators are skipped);
+    2. per sentence: lowercase, then word-tokenize as MAXIMAL RUNS of
+       alphabet runes (pkg/analysis/word_tokenizer.go:22-47);
+    3. sentences with zero words are skipped
+       (pkg/lm/ngram_builder.go:52-54);
+    4. wrap each sentence with start/end symbols and count all k-grams.
+
+    The alphabet accepts the same named groups as IndexConfig
+    (pkg/alphabet/alphabet.go) plus literal strings; the reference's example
+    config (pkg/lm/testdata/config-example.json) is the default here.
+    """
+
+    order: int = 3
+    alphabet: tuple[str, ...] = ("english", "russian", "numbers", "-.")
+    separators: str = "\n"
+    start: str = START
+    end: str = END
+
+    @property
+    def word_char_class(self) -> str:
+        return char_class(self.alphabet)
+
+    @property
+    def separator_char_class(self) -> str:
+        return _escape_for_char_class(self.separators)
+
+
+def lm_word_tokens_col(text: Column, config: LMConfig) -> Column:
+    """lm.Tokenizer chain on one string: lowercase → maximal alphabet-rune
+    runs (pkg/lm/tokenizer.go:25-30; the Trim(text, " ") there is a no-op
+    because ' ' is never an alphabet rune)."""
+    return F.filter(
+        F.split(F.lower(text), f"[^{config.word_char_class}]+"), lambda w: w != ""
+    )
+
+
+def sentence_words_col(text: Column, config: LMConfig) -> Column:
+    """``array<array<string>>`` of per-sentence word lists (zero-word
+    sentences dropped) — the distributed form of SentenceRetriever +
+    lm.Tokenizer (pkg/lm/sentence_retriever.go:54-81 scanSentence)."""
+    sents = F.split(text, f"[{config.separator_char_class}]+")
+    words = F.transform(sents, lambda s: lm_word_tokens_col(s, config))
+    return F.filter(words, lambda ws: F.size(ws) > 0)
+
+
+def _wrapped_words(text_col, config: LMConfig | None = None):
+    if config is not None:
+        words = lm_word_tokens_col(text_col, config)
+        return F.concat(
+            F.array(F.lit(config.start)), words, F.array(F.lit(config.end))
+        )
     words = F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != "")
     return F.concat(F.array(F.lit(START)), words, F.array(F.lit(END)))
 
 
 def build_ngram_counts(
-    sentences: DataFrame, order: int, text_col: str = "text"
+    sentences: DataFrame,
+    order: int,
+    text_col: str = "text",
+    config: LMConfig | None = None,
 ) -> dict[int, DataFrame]:
     """Count tables for k = 1..order over wrapped sentences
-    (NGramBuilder semantics, ngram_builder.go:19-39)."""
-    wrapped = sentences.select(_wrapped_words(F.col(text_col)).alias("ws"))
+    (NGramBuilder semantics, ngram_builder.go:19-39).
+
+    With ``config=None`` each input row is ONE sentence and words split on
+    whitespace (the plain corpus path, identical to the reference on its
+    sam-corpus fixtures).  With an :class:`LMConfig`, each input row is a
+    DOCUMENT run through the full reference chain — separator sentence
+    retrieval + alphabet word tokenization — before wrapping/counting.
+    """
+    if config is not None:
+        wrapped = sentences.select(
+            F.explode(sentence_words_col(F.col(text_col), config)).alias("w")
+        ).select(
+            F.concat(
+                F.array(F.lit(config.start)), F.col("w"), F.array(F.lit(config.end))
+            ).alias("ws")
+        )
+    else:
+        wrapped = sentences.select(_wrapped_words(F.col(text_col)).alias("ws"))
     out: dict[int, DataFrame] = {}
 
     def _make_gram(k: int):
@@ -71,17 +151,24 @@ def score_sentences(
     order: int,
     id_col: str = "sent_id",
     text_col: str = "text",
+    config: LMConfig | None = None,
 ) -> DataFrame:
     """``(sent_id, score)`` stupid-backoff log score per sentence.
 
     The count tables are broadcast (an LM count table is tiny next to a
     corpus); the per-gram backoff is one CASE expression, summed per
     sentence by a hash aggregate.
+
+    With an :class:`LMConfig`, tokenization matches languageModel
+    .ScoreSentence's input chain — lowercase + alphabet word runs, NO
+    sentence split (a score query is one sentence by definition,
+    pkg/lm/language_model.go:64-92).
     """
     corpus_total = counts[1].agg(F.sum("cnt")).first()[0]
 
     wrapped = sentences.select(
-        F.col(id_col).alias("sent_id"), _wrapped_words(F.col(text_col)).alias("ws")
+        F.col(id_col).alias("sent_id"),
+        _wrapped_words(F.col(text_col), config).alias("ws"),
     )
     grams = wrapped.where(F.size("ws") >= order).select(
         "sent_id",
@@ -192,6 +279,61 @@ def next_word_scores(
 # ---------------------------------------------------------------------------
 # pure-Python oracle (golden-tested against pkg/lm/language_model_test.go)
 # ---------------------------------------------------------------------------
+
+
+def lm_word_tokens_py(text: str, config: LMConfig) -> list[str]:
+    """Pure-Python lm.Tokenizer (lowercase → alphabet-rune runs)."""
+    from ..config import allowed_char_set
+
+    allowed = allowed_char_set(config.alphabet)
+    words, cur = [], []
+    for ch in text.lower():
+        if ch in allowed:
+            cur.append(ch)
+        elif cur:
+            words.append("".join(cur))
+            cur = []
+    if cur:
+        words.append("".join(cur))
+    return words
+
+
+def sentences_py(text: str, config: LMConfig) -> list[list[str]]:
+    """Pure-Python SentenceRetriever chain: split on separator runs, word-
+    tokenize, drop zero-word sentences."""
+    seps = set(config.separators)
+    pieces, cur = [], []
+    for ch in text:
+        if ch in seps:
+            if cur:
+                pieces.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        pieces.append("".join(cur))
+    out = []
+    for p in pieces:
+        ws = lm_word_tokens_py(p, config)
+        if ws:
+            out.append(ws)
+    return out
+
+
+def build_counts_chain_py(
+    texts: list[str], config: LMConfig
+) -> dict[int, dict[str, int]]:
+    """Reference-chain corpus counts: documents → sentences → words → wrap →
+    k-gram counts (the pure-Python golden for build_ngram_counts(config=...))."""
+    out: dict[int, dict[str, int]] = {k: {} for k in range(1, config.order + 1)}
+    for text in texts:
+        for s in sentences_py(text, config):
+            ws = [config.start] + s + [config.end]
+            for k in range(1, config.order + 1):
+                for i in range(len(ws) - k + 1):
+                    g = " ".join(ws[i : i + k])
+                    out[k][g] = out[k].get(g, 0) + 1
+    return out
 
 
 def build_counts_py(sentences: list[list[str]], order: int) -> dict[int, dict[str, int]]:
