@@ -94,12 +94,36 @@ def q_suggest_prefix(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITE
     lets the driver's value-hash gate verify it independently)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from suggest_spark.operators.suggest import suggest_topk_prefix
+        from suggest_spark.operators.suggest import (
+            suggest_topk_prefix,
+            term_document_frequency,
+        )
 
         dictionary = _part_dictionary(spark, sf_dir)
         index = build_ngram_index(dictionary, config=CFG)
+        # production shape: the df table / per-doc terms / duplicate-excess
+        # constant are computed ONCE at index-build time and handed to every
+        # query — the query path itself then runs no extra jobs
+        doc_terms = with_terms(dictionary, "value", CFG).select(
+            "doc_id", "size", "terms"
+        )
+        term_df = term_document_frequency(index)
+        delta_max = int(
+            doc_terms.agg(
+                F.max(F.size("terms") - F.size(F.array_distinct("terms"))).alias("d")
+            ).first()["d"]
+            or 0
+        )
         out = suggest_topk_prefix(
-            index, _literals_df(spark, literals), metric, alpha, k, CFG
+            index,
+            _literals_df(spark, literals),
+            metric,
+            alpha,
+            k,
+            CFG,
+            term_df=term_df,
+            doc_terms=doc_terms,
+            delta_max=delta_max,
         )
         return out.select(
             "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"

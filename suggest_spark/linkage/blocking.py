@@ -157,6 +157,17 @@ def prefix_keys(
     )
 
 
+def oversized_blocks(keys: DataFrame, max_block_size: int) -> DataFrame:
+    """``(tid, block_n)`` blocking keys whose block exceeds the cap — the
+    df-cap's audit trail (callers log/checkpoint it; dropping is never
+    silent)."""
+    return (
+        keys.groupBy("tid")
+        .agg(F.count(F.lit(1)).alias("block_n"))
+        .where(F.col("block_n") > max_block_size)
+    )
+
+
 def candidate_pairs(
     records: DataFrame,
     metric: Metric,
@@ -164,7 +175,8 @@ def candidate_pairs(
     df_cap: int | None = None,
     max_block_size: int | None = None,
     dedup: bool = True,
-    broadcast_keys: bool | None = None,
+    broadcast_keys: bool = False,
+    delta_max: int | None = None,
 ) -> DataFrame:
     """Candidate ``(rid_a, rid_b)`` (rid_a < rid_b) surviving the length
     filter (reference LengthFilter, pkg/suggest/suggester.go:53-59, on
@@ -178,22 +190,31 @@ def candidate_pairs(
     shuffle of the pipeline; use dedup=True when the pair list itself is the
     product (e.g. checkpointed as a stage).
 
-    ``broadcast_keys`` broadcasts the build side of the self-join when the
-    prefix-key table is small enough (auto: <= 5M keys), eliminating the
-    join shuffle as well.
+    ``broadcast_keys=True`` broadcasts the build side of the self-join when
+    the caller KNOWS the prefix-key table is small (≲5M keys), eliminating
+    the join shuffle as well.  It is an explicit flag only — no hidden
+    ``count()`` job probes the size on the default path (AQE already
+    converts the shuffle join to broadcast at runtime when the built side
+    turns out small, so auto-detection would buy nothing but an extra job).
+
+    ``delta_max`` — the corpus duplicate-excess constant (see
+    :func:`prefix_keys`); pass the value computed once at encode time to
+    keep the default path free of driver actions at plan-construction.
+
+    Oversized blocks dropped by ``max_block_size`` are recomputable via
+    :func:`oversized_blocks` (same inputs) for logging — never a hidden
+    side-channel.
 
     ``records`` may be raw (with a ``terms`` column — encoded internally) or
     pre-encoded via :func:`encode_records` (share the encoding with
     score_pairs to avoid doing it twice)."""
     if "tids" not in records.columns:
         records = encode_records(records, df_cap=df_cap)
-    keys = prefix_keys(records, metric, alpha)
+    keys = prefix_keys(records, metric, alpha, delta_max=delta_max)
 
     if max_block_size is not None:
-        block_sizes = keys.groupBy("tid").agg(F.count(F.lit(1)).alias("block_n"))
-        dropped = block_sizes.where(F.col("block_n") > max_block_size)
+        dropped = oversized_blocks(keys, max_block_size)
         keys = keys.join(F.broadcast(dropped.select("tid")), "tid", "left_anti")
-        candidate_pairs._dropped_blocks = dropped  # type: ignore[attr-defined]
 
     a = keys.select(
         F.col("tid"),
@@ -218,8 +239,6 @@ def candidate_pairs(
     )
     t = metric.threshold(alpha, F.col("size_a"), F.col("size_b"))
 
-    if broadcast_keys is None:
-        broadcast_keys = keys.count() <= 5_000_000
     if broadcast_keys:
         b = F.broadcast(b)
         # the probe side is the only parallel dimension of the fused map

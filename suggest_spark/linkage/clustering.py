@@ -77,36 +77,66 @@ def connected_components(
     """``edges (src, dst)`` → ``(rid, cluster_id)`` for every node appearing
     in an edge; ``cluster_id`` = minimum node id of the component.
 
-    ``on_round(i, n_edges)`` is an optional per-round metrics callback (used
-    by the checkpointing pipeline for lineage/metrics manifests).
+    ``on_round(i, n_edges)`` is an optional metrics callback fired once per
+    CONVERGENCE CHECK (i.e. every ``rounds_per_check`` star rounds, with
+    ``i`` the index of the last completed round) — used by the checkpointing
+    pipeline for lineage/metrics manifests.  ``max_iterations`` bounds the
+    number of checks, so up to ``max_iterations × rounds_per_check`` star
+    rounds may run.
 
     The loop is driver-paced, so per-round Spark-job latency is pure SERIAL
     time that caps scaling efficiency (the star shuffles themselves are tiny
     once the graph is near-converged).  Two mitigations: eager=False
     checkpoints materialize inside the fingerprint action that follows (one
     job per check instead of two), and ``rounds_per_check`` star rounds run
-    between convergence checks (fingerprints compare a round-INVARIANT of
-    the converged state — a star forest is a fixpoint of both stars — so
-    checking every k rounds trades <= k-1 cheap extra rounds for k x fewer
-    driver round-trips).
+    between convergence checks.
+
+    Convergence detection is sound in BOTH directions:
+
+    * converged ⇒ detected: a star forest is a fixpoint of large-star and
+      small-star, so its fingerprint repeats on the next check;
+    * detected ⇒ converged: a repeated fingerprint is VERIFIED by running
+      one more star round and requiring the fingerprint to stay unchanged —
+      a period-2 oscillation (equal state two checks apart without being a
+      fixpoint) would change under the extra round and the loop continues.
+      (Alternating large/small star is in fact monotone in the sum of
+      per-node minimum labels, which already rules out true cycles — the
+      verification round makes the claim independent of that argument,
+      at the cost of one extra round pair at convergence.)
     """
     cur = _symmetrize(edges).localCheckpoint(eager=False)
     prev_fp = None
     i = 0
+
+    def _advance(df: DataFrame) -> DataFrame:
+        return _symmetrize(_small_star(_large_star(df))).localCheckpoint(eager=False)
+
+    converged = False
     for _ in range(max_iterations):
         for _k in range(rounds_per_check):
-            ls = _large_star(cur)
-            ss = _small_star(ls)
-            cur = _symmetrize(ss).localCheckpoint(eager=False)
+            cur = _advance(cur)
             i += 1
         fp = _fingerprint(cur)
         if on_round is not None:
             on_round(i - 1, fp[0])
         if fp == prev_fp:
-            break
-        prev_fp = fp
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+            # verification round: a genuine fixpoint is invariant under one
+            # more large+small star; an oscillation is not
+            nxt = _advance(cur)
+            i += 1
+            fp2 = _fingerprint(nxt)
+            cur = nxt
+            if fp2 == fp:
+                converged = True
+                break
+            prev_fp = fp2
+        else:
+            prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"convergence checks ({max_iterations * rounds_per_check} star rounds)"
+        )
 
     # converged: the symmetric edge set is a star forest rooted at minima
     assignments = cur.where(F.col("src") > F.col("dst")).select(

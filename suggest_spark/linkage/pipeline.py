@@ -42,6 +42,11 @@ class LinkageConfig:
     index: IndexConfig = DEFAULT_CONFIG
     df_cap: int | None = None
     max_block_size: int | None = None
+    #: explicit broadcast flags (no hidden size-probe jobs on any path —
+    #: pass True when the corpus is known to fit executor memory; AQE still
+    #: upgrades shuffle joins to broadcast at runtime either way)
+    broadcast_keys: bool = False
+    broadcast_records: bool = False
 
     def fingerprint(self) -> str:
         return json.dumps(
@@ -86,6 +91,12 @@ def run_linkage(
     from .blocking import encode_records
 
     encoded = encode_records(records, df_cap=config.df_cap).persist()
+    # the corpus duplicate-excess constant, computed ONCE explicitly here
+    # (one small job over the persisted encoding) so no stage runs hidden
+    # driver actions at plan-construction time
+    delta_max = int(
+        encoded.agg(F.max("delta").alias("d")).first()["d"] or 0
+    )
 
     pairs = cp.run_stage(
         "pairs",
@@ -94,6 +105,8 @@ def run_linkage(
             config.metric,
             config.alpha,
             max_block_size=config.max_block_size,
+            broadcast_keys=config.broadcast_keys,
+            delta_max=delta_max,
         ),
         inputs=["records"],
     ).df
@@ -101,16 +114,23 @@ def run_linkage(
     matches = cp.run_stage(
         "matches",
         lambda: score_pairs(
-            pairs, records, config.metric, config.alpha, encoded=encoded
+            pairs,
+            records,
+            config.metric,
+            config.alpha,
+            broadcast_records=config.broadcast_records,
+            encoded=encoded,
         ),
         inputs=["records", "pairs"],
     ).df
 
+    cluster_rounds: list[tuple[int, int]] = []
+
     def _cluster() -> DataFrame:
-        rounds: list[tuple[int, int]] = []
         edges = matches.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
-        assigned = connected_components(edges, on_round=lambda i, n: rounds.append((i, n)))
-        _cluster.rounds = rounds  # type: ignore[attr-defined]
+        assigned = connected_components(
+            edges, on_round=lambda i, n: cluster_rounds.append((i, n))
+        )
         singletons = (
             records.select("rid")
             .join(assigned.select("rid"), "rid", "left_anti")
@@ -118,7 +138,15 @@ def run_linkage(
         )
         return assigned.unionByName(singletons)
 
-    clusters = cp.run_stage("clusters", _cluster, inputs=["matches"]).df
+    # cluster_rounds is shared by reference: _cluster fills it during fn()
+    # and run_stage serializes extra_metrics into the manifest AFTER fn ran,
+    # so the per-round (round, n_edges) metrics land in the lineage manifest
+    clusters = cp.run_stage(
+        "clusters",
+        _cluster,
+        inputs=["matches"],
+        extra_metrics={"delta_max": delta_max, "cc_rounds": cluster_rounds},
+    ).df
 
     # final user-facing table: url → cluster
     out = records.select("rid", "url").join(clusters, "rid").select("url", "cluster_id")
@@ -129,6 +157,8 @@ def run_linkage(
         "matches": matches,
         "clusters": clusters,
         "url_clusters": out,
+        "cluster_rounds": cluster_rounds,
+        "delta_max": delta_max,
         "_pipeline": cp,
     }
 

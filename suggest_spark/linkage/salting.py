@@ -9,12 +9,27 @@ frequency over a boilerplate-heavy web corpus where "$th"/"he " dominate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(df: DataFrame, salt_on: list[str] | None, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): hash of the ``salt_on`` columns —
+    STABLE under task retry/speculation (a retried task re-derives the same
+    salt for the same row, so results are bit-reproducible).  With
+    ``salt_on=None`` every non-key column participates; join results are
+    correct for ANY salt value, but stability keeps the determinism story
+    airtight (north-rule requirement)."""
+    cols = salt_on if salt_on is not None else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
 def salted_count(
-    df: DataFrame, key: str, n_salts: int = 16, count_col: str = "cnt"
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    count_col: str = "cnt",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase salted count: groupBy((key, salt)) partial counts, then
     groupBy(key) final sum.  The salt spreads a hot key over ``n_salts``
@@ -25,7 +40,7 @@ def salted_count(
     aggregations without partial pushdown — collect_list/collect_set
     accumulations, exact distinct counts — and as the general pattern.)
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    salted = df.withColumn("_salt", _salt_col(df, salt_on, n_salts))
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias(count_col))
 
@@ -35,6 +50,7 @@ def salted_broadcast_join(
     small: DataFrame,
     key: str,
     n_salts: int = 16,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: replicate the small side across ``n_salts``
     salts and salt the big side's key, so one hot key's rows spread over
@@ -42,8 +58,6 @@ def salted_broadcast_join(
     replication costs memory, not shuffle."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    big_salted = big.withColumn("_salt", _salt_col(big, salt_on, n_salts))
     out = big_salted.join(F.broadcast(small_rep), [key, "_salt"], "inner")
     return out.drop("_salt")

@@ -222,7 +222,7 @@ def score_pairs(
     records: DataFrame,
     metric: Metric,
     alpha: float,
-    broadcast_records: bool | None = None,
+    broadcast_records: bool = False,
     dedup_pairs: bool = False,
     encoded: DataFrame | None = None,
 ) -> DataFrame:
@@ -235,16 +235,16 @@ def score_pairs(
 
     Join strategy: the pair table is usually one to two orders of magnitude
     LARGER than the record table (every record yields many candidates), so
-    by default the records side is broadcast to both joins — the pair table
-    is never shuffled and the whole scoring stage is embarrassingly parallel.
-    Set ``broadcast_records=False`` (or let the auto-threshold do it) for
-    corpora too large to broadcast; then the joins shuffle on rid and a
-    bucketed records table makes them co-located.
+    when the caller KNOWS the record table is broadcastable (~100 bytes of
+    int ids per record keeps multi-million-record dictionaries under
+    executor memory), pass ``broadcast_records=True`` — the pair table is
+    then never shuffled and the whole scoring stage is embarrassingly
+    parallel.  The flag is explicit only: the default path runs NO hidden
+    ``count()`` job (AQE's runtime size stats already upgrade the shuffle
+    join to broadcast when the records side turns out small); default-shape
+    joins shuffle on rid, and a bucketed records table makes them
+    co-located.
     """
-    if broadcast_records is None:
-        # cheap heuristic: count the records once; ~100 bytes/record of int
-        # ids keeps a multi-million-record dictionary broadcastable
-        broadcast_records = records.count() <= 2_000_000
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_records else df

@@ -207,6 +207,137 @@ def ivf_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    dim: int,
+    n_iters: int = 5,
+    seed: int = 42,
+    vec: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer trained as a DataFrame-iterative
+    loop (data-adaptive replacement for :func:`make_ivf_centroids`).
+
+    Each iteration: assign every vector to its max-dot-product centroid
+    (centroids are unit-norm literals → assignment is whole-stage codegen,
+    no Python), then recompute centroids as the normalized per-cell sum.
+    The per-cell sums use ``posexplode`` + hash aggregate — dim× row fan-out,
+    but the aggregate has only k·dim groups so the map-side partial combine
+    collapses it before the shuffle; only k·dim numbers reach the driver per
+    iteration (centroids become plan literals anyway).  Empty cells keep
+    their previous centroid.  Deterministic: seeded init, order-insensitive
+    sums (fp addition order varies ±1ulp across parallelism — irrelevant to
+    cell assignment robustness at these magnitudes).
+    """
+    cs = make_ivf_centroids(n_centroids, dim, seed)
+    v = corpus.select(F.col(vec).cast("array<double>").alias("v"))
+    for _ in range(n_iters):
+        dots = _centroid_dots(F.col("v"), cs)
+        assigned = v.withColumn(
+            "cell", F.array_position(dots, F.array_max(dots)).cast("int")
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
+        new_cs = []
+        for i in range(n_centroids):
+            s = acc.get(i + 1)
+            if s is None:
+                new_cs.append(cs[i])  # empty cell keeps its centroid
+                continue
+            nrm = float(np.linalg.norm(s))
+            new_cs.append([x / nrm for x in s] if nrm > 0 else cs[i])
+        cs = new_cs
+    return cs
+
+
+def write_ivf(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """At-rest IVF layout: the corpus written ``partitionBy("cell")`` so
+    probe queries PRUNE partitions (the same physical mechanism as the
+    suggest index's size segments, reference pkg/index/indices.go:3-14 —
+    a Voronoi cell is to ANN what a cardinality segment is to suggest)."""
+    dots = _centroid_dots(F.col(vec), centroids)
+    with_cell = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(vec).alias("nv"),
+        norm(F.col(vec)).alias("nn"),
+        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
+    )
+    with_cell.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe an at-rest IVF table (:func:`write_ivf`): only the union of the
+    query batch's probe cells is SCANNED (static partition pruning via the
+    ``cell IN (...)`` predicate — check ``PartitionFilters`` in the plan).
+
+    The probe-cell union is collected driver-side — bounded by
+    Q·n_probe ≤ n_centroids, the serving-shaped analogue of the suggest
+    path's bounded query batch.
+    """
+    q_dots = _centroid_dots(F.col("qv"), centroids)
+    ranked = F.array_sort(
+        F.transform(
+            q_dots,
+            lambda d, i: F.struct((-d).alias("nd"), (i + 1).cast("int").alias("i")),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec).alias("qv"),
+            norm(F.col(vec)).alias("qn"),
+        )
+        .withColumn("probe", F.explode(F.slice(ranked, 1, n_probe)))
+        .select("qid", "qv", "qn", F.col("probe")["i"].alias("cell"))
+    )
+    probe_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+
+    c = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

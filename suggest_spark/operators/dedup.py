@@ -82,15 +82,60 @@ def jaccard_near_dup_pairs(
     threshold: float,
     id_col: str = "doc_id",
     shingles_col: str = "shingles",
+    prefix_blocked: bool = False,
+    delta_max: int | None = 0,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with set-Jaccard >= threshold.
 
-    Same relational shape as the suggest count filter: explode → self-join on
-    shingle → per-pair overlap count → Jaccard from set sizes.  Callers at
-    scale should pre-block (linkage.blocking.prefix_keys) — this operator
-    joins on ALL shingles and is meant for post-blocking verification or
-    moderate corpora.
+    ``prefix_blocked=False`` — the direct relational form: explode →
+    self-join on shingle → per-pair overlap count → Jaccard from set sizes.
+    Joins on ALL shingles: right for post-blocking verification or moderate
+    corpora, wrong at web scale (hot shingles explode the join).
+
+    ``prefix_blocked=True`` — the scale path (VERDICT r1 #5): candidates
+    come from linkage.blocking's prefix filter (only each document's
+    rarity-ordered prefix shingles — the ``L−T+1`` rarest — become join
+    keys, so boilerplate shingles never form blocks), then exact Jaccard
+    verifies on sorted int-id arrays.  Identical output to the direct form
+    (asserted by tests).  ``delta_max=0`` is correct for
+    :func:`shingle_words` output (array_distinct ⇒ no duplicate shingles);
+    pass ``None`` to have the blocking stage measure it.
     """
+    if prefix_blocked:
+        from ..functions.metrics import JACCARD
+        from ..linkage.blocking import candidate_pairs, encode_records
+
+        records = docs.select(
+            F.col(id_col).alias("rid"), F.col(shingles_col).alias("terms")
+        )
+        encoded = encode_records(records)
+        pairs = candidate_pairs(
+            encoded, JACCARD, threshold, dedup=True, delta_max=delta_max
+        )
+        a = encoded.select(
+            F.col("rid").alias("id_a"),
+            F.col("tids").alias("tids_a"),
+            F.col("msize").alias("sz_a"),
+        )
+        b = encoded.select(
+            F.col("rid").alias("id_b"),
+            F.col("tids").alias("tids_b"),
+            F.col("msize").alias("sz_b"),
+        )
+        enriched = (
+            pairs.withColumnRenamed("rid_a", "id_a")
+            .withColumnRenamed("rid_b", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+        )
+        inter = F.size(F.array_intersect("tids_a", "tids_b"))
+        jac = inter.cast("double") / (
+            F.col("sz_a") + F.col("sz_b") - inter
+        ).cast("double")
+        return enriched.select("id_a", "id_b", jac.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
+
     ex = docs.select(
         F.col(id_col).alias("id"),
         F.size(F.col(shingles_col)).alias("sz"),
@@ -152,26 +197,21 @@ def duckdb_minhash_sql(shingles_expr: str, n_hashes: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     n_hashes: int = 8,
     band_size: int = 2,
     id_col: str = "doc_id",
     shingles_col: str = "shingles",
 ) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band bucket.
-
-    ``n_hashes/band_size`` bands; bucket key = band index + concatenated
-    min-hashes.  The band join is an equi-join on the bucket key — skewed
-    buckets (boilerplate-heavy corpora) are split by AQE; at extreme scale
-    add a bucket-size cap exactly like blocking.candidate_pairs.
-    """
+    """``(id, bucket)`` LSH band buckets: ``n_hashes/band_size`` bands,
+    bucket key = band index + concatenated min-hashes."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
     sig = docs.select(
         F.col(id_col).alias("id"), minhash_signature(F.col(shingles_col), n_hashes).alias("sig")
     )
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -186,6 +226,52 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
+
+
+def oversized_minhash_buckets(
+    docs: DataFrame,
+    max_bucket_size: int,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+) -> DataFrame:
+    """``(bucket, bucket_n)`` buckets exceeding the cap — the audit trail for
+    ``minhash_lsh_pairs(max_bucket_size=...)`` (log/checkpoint it; a dropped
+    bucket is a recall trade-off that must never be silent)."""
+    bands = minhash_bands(docs, n_hashes, band_size, id_col, shingles_col)
+    return (
+        bands.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket_size)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band bucket.
+
+    The band join is an equi-join on the bucket key — skewed buckets
+    (boilerplate-heavy corpora) are split by AQE; ``max_bucket_size`` adds
+    the hard cap for extreme scale: a bucket of B identical-signature docs
+    yields B² candidate pairs, so one boilerplate bucket of 10⁶ docs would
+    emit 10¹² pairs — the cap drops such buckets entirely (near-dup recall
+    within them is better served by exact dedup on the signature).  Dropped
+    buckets are enumerable via :func:`oversized_minhash_buckets` — same
+    deterministic signatures, never a silent loss.
+    """
+    bands = minhash_bands(docs, n_hashes, band_size, id_col, shingles_col)
+    if max_bucket_size is not None:
+        dropped = oversized_minhash_buckets(
+            docs, max_bucket_size, n_hashes, band_size, id_col, shingles_col
+        )
+        bands = bands.join(F.broadcast(dropped.select("bucket")), "bucket", "left_anti")
     a = bands.select("bucket", F.col("id").alias("id_a"))
     b = bands.select("bucket", F.col("id").alias("id_b"))
     return (

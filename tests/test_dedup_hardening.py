@@ -1,0 +1,84 @@
+"""Skew hardening for the dedup tiers (VERDICT r1 #5) and the no-hidden-
+driver-jobs guarantee for the default linkage path (VERDICT r1 #8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from suggest_spark.operators import dedup
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def near_copy_docs(spark):
+    """documents ∪ near-copies (last word dropped) of every 7th doc —
+    the same fixture shape the driver oracle uses."""
+    base = [
+        (i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12))) for i in range(N_DOCS)
+    ]
+    near = [(i + 100000, " ".join(t.split()[:-1])) for i, t in base if i % 7 == 0]
+    df = spark.createDataFrame(base + near, "doc_id long, text string")
+    return df.withColumn("shingles", dedup.shingle_words(F.col("text"), 5)).cache()
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_jaccard_prefix_blocked_equals_plain(near_copy_docs):
+    plain = dedup.jaccard_near_dup_pairs(near_copy_docs, 0.5)
+    blocked = dedup.jaccard_near_dup_pairs(near_copy_docs, 0.5, prefix_blocked=True)
+    got_p = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in plain.collect()}
+    got_b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in blocked.collect()}
+    assert got_p == got_b
+    assert len(got_p) > 0
+
+
+def test_minhash_bucket_cap_preserves_recall(near_copy_docs):
+    """A generous cap must not lose any pair vs the uncapped version; a tiny
+    cap must enumerate what it dropped."""
+    uncapped = _pair_set(dedup.minhash_lsh_pairs(near_copy_docs, 8, 2))
+    capped = _pair_set(
+        dedup.minhash_lsh_pairs(near_copy_docs, 8, 2, max_bucket_size=50)
+    )
+    assert capped == uncapped
+    assert len(uncapped) > 0
+
+    tiny = _pair_set(dedup.minhash_lsh_pairs(near_copy_docs, 8, 2, max_bucket_size=1))
+    dropped = dedup.oversized_minhash_buckets(near_copy_docs, 1, 8, 2).collect()
+    assert tiny == set()  # every pair needs a bucket of >= 2
+    assert len(dropped) > 0
+    assert all(r["bucket_n"] > 1 for r in dropped)
+
+
+def test_default_linkage_path_runs_no_hidden_jobs(spark, near_copy_docs):
+    """Plan CONSTRUCTION of the default blocking+scoring path must trigger
+    zero Spark jobs (no size-probe count(), no delta_max first()) — the
+    VERDICT r1 'kill the hidden driver jobs' criterion.  Jobs are detected
+    via a dedicated job group."""
+    from suggest_spark.functions.metrics import JACCARD
+    from suggest_spark.linkage.blocking import candidate_pairs, encode_records
+    from suggest_spark.linkage.scoring import score_pairs
+
+    records = near_copy_docs.select(
+        F.col("doc_id").alias("rid"),
+        F.col("text"),
+        F.col("shingles").alias("terms"),
+    )
+    sc = spark.sparkContext
+    group = "plan-construction-guard"
+    sc.setJobGroup(group, "must stay empty")
+    try:
+        encoded = encode_records(records)
+        pairs = candidate_pairs(encoded, JACCARD, 0.5, dedup=False, delta_max=0)
+        matches = score_pairs(
+            pairs, records, JACCARD, 0.5, dedup_pairs=True, encoded=encoded
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == [], (
+        "plan construction ran Spark jobs: %s" % (tracker.getJobIdsForGroup(group),)
+    )
+    # sanity: the constructed plan still executes and matches exist
+    assert matches.count() > 0

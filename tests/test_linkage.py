@@ -241,11 +241,22 @@ def test_checkpoint_resume(spark, pages, tmp_path_factory):
     res3 = run_linkage(spark, pages, cfg2, cp_dir)
     assert all(not e["skipped"] for e in res3["_pipeline"].events)
 
-    # partial write (stage dir without manifest) → that stage recomputed
-    import shutil
+    # crash mid-`matches` (stage output written, manifest never committed —
+    # exactly what a mid-stage process kill leaves behind, since the write
+    # goes to a temp dir and the manifest is the last file written before
+    # the atomic rename): only the unfinished stage re-runs
+    import json
 
+    with open(os.path.join(cp_dir, "matches", "_MANIFEST.json")) as f:
+        checksum_before = json.load(f)["checksum"]
     os.remove(os.path.join(cp_dir, "matches", "_MANIFEST.json"))
     res4 = run_linkage(spark, pages, cfg2, cp_dir)
     skipped = {e["stage"]: e["skipped"] for e in res4["_pipeline"].events}
     assert skipped["records"] and skipped["pairs"]
     assert not skipped["matches"]
+    # recomputed stage is bit-identical (content checksum equal) ...
+    with open(os.path.join(cp_dir, "matches", "_MANIFEST.json")) as f:
+        assert json.load(f)["checksum"] == checksum_before
+    # ... so the downstream stage's lineage still matches and it SKIPS —
+    # checksum-lineage recovery, not blind re-run of everything downstream
+    assert skipped["clusters"]
