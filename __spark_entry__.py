@@ -732,6 +732,57 @@ SELECT sent_id, round(score, 6) AS score FROM scored
 """
 
 
+# --- multimodal: deterministic byte-feature decode path (oracle-checkable)
+
+
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the REAL mapInPandas decode operator on
+    synthesized binary blobs (documents text encoded as bytes): n_bytes +
+    pseudo-dimensions + 16-bin byte histogram.  Bin counts are reconstructed
+    as integers from the normalized float32 features (exact: count/total ×
+    total rounds to the count), keeping the oracle float-precision-proof."""
+    from suggest_spark.operators.multimodal import decode_image_features
+
+    media = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("media")
+    )
+    out = decode_image_features(media)
+    bins = [
+        F.round(F.element_at("features", i + 1).cast("double") * F.col("n_bytes"))
+        .cast("long")
+        .alias(f"bin_{i}")
+        for i in range(16)
+    ]
+    return out.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        *bins,
+    )
+
+
+def sql_media_byte_stats() -> str:
+    # documents text is pure ASCII (verified for the driver tables), so byte
+    # i == ascii(char i) and strlen == octet length
+    bins = ", ".join(
+        f"CAST(len(list_filter(cs, c -> c // 16 = {b})) AS BIGINT) AS bin_{b}"
+        for b in range(16)
+    )
+    return f"""
+WITH codes AS (
+  SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+         list_transform(range(1, strlen(text) + 1), i -> ascii(text[i])) AS cs
+  FROM documents
+)
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(1 + (CASE WHEN n_bytes > 0 THEN cs[1] ELSE 0 END) AS BIGINT) AS width,
+       CAST(1 + (CASE WHEN n_bytes > 1 THEN cs[2] ELSE 0 END) AS BIGINT) AS height,
+       {bins}
+FROM codes
+"""
+
+
 # --- reference LM analysis chain (LMConfig path) on punctuation-bearing text
 
 #: deterministic punctuation-bearing corpus: every ' a ' becomes a sentence
@@ -981,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_backoff_score": q_lm_backoff_score,
         "lm_chain_bigrams_punct": q_lm_chain_bigrams,
         "lm_backoff_score_punct": q_lm_backoff_punct,
+        "media_byte_stats": q_media_byte_stats,
         "agg_pricing_summary": q_pricing_summary,
         "window_top_orders": q_top_orders,
         "join_customer_nation": q_customer_nation,
@@ -1016,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_backoff_score": sql_lm_backoff_score(),
         "lm_chain_bigrams_punct": SQL_LM_CHAIN_BIGRAMS,
         "lm_backoff_score_punct": sql_lm_backoff_punct(),
+        "media_byte_stats": sql_media_byte_stats(),
         "agg_pricing_summary": SQL_PRICING_SUMMARY,
         "window_top_orders": SQL_TOP_ORDERS,
         "join_customer_nation": SQL_CUSTOMER_NATION,

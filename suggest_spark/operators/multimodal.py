@@ -1,17 +1,21 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` + typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels that need codec libraries (PIL/ffmpeg/soundfile — not
-present in this environment) are STUBBED behind an import-try: when the
-library is missing, a clearly-marked deterministic fake decoder runs instead
-so the Spark-side plumbing — schema, batch shape, partitioning — is real and
-tested end-to-end.  The fake decoder derives per-blob features from the
-bytes themselves (length, a 16-bin byte histogram), so outputs are
-deterministic across runs and parallelism levels.
+Decode dispatch: when PIL is importable AND a blob parses as a real image,
+the REAL decode runs (dimensions from the codec, features = L1-normalized
+16-bin grayscale histogram); otherwise — missing library or undecodable
+bytes — the clearly-marked deterministic byte-level fallback runs
+(pseudo-dimensions from the leading bytes, features = 16-bin byte
+histogram), keeping the Spark-side plumbing (schema, batch shape,
+partitioning) identical and every output deterministic across runs and
+parallelism levels.  The ``decoder`` column records which path produced
+each row, so a mixed or codec-less corpus is never silently misread as
+decoded.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,15 +26,17 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
-try:  # pragma: no cover - exercised only where PIL exists
-    from PIL import Image  # noqa: F401
+try:
+    from PIL import Image
 
     _HAS_PIL = True
-except ImportError:
+except ImportError:  # codec library absent in this container
+    Image = None
     _HAS_PIL = False
 
 
@@ -41,13 +47,14 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("features", ArrayType(FloatType())),
+        StructField("decoder", StringType()),
     ]
 )
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic stand-in for a real image decode: pseudo-dimensions from
-    the leading bytes, features = L1-normalized 16-bin byte histogram."""
+def _byte_histogram_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic byte-level fallback: pseudo-dimensions from the leading
+    bytes, features = L1-normalized 16-bin byte histogram."""
     n = len(blob)
     width = 1 + (blob[0] if n > 0 else 0)
     height = 1 + (blob[1] if n > 1 else 0)
@@ -57,29 +64,46 @@ def _fake_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feats
 
 
+def _pil_decode(blob: bytes):
+    """Real image decode: (width, height, 16-bin grayscale histogram) or
+    None when the bytes are not a decodable image."""
+    try:
+        img = Image.open(io.BytesIO(blob))
+        img.load()
+    except Exception:
+        return None
+    gray = np.asarray(img.convert("L"), dtype=np.uint8)
+    hist, _ = np.histogram(gray, bins=16, range=(0, 256))
+    total = hist.sum()
+    feats = (hist / total).astype(np.float32) if total else np.zeros(16, np.float32)
+    return img.width, img.height, feats
+
+
 def decode_image_features(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "media"
 ) -> DataFrame:
-    """``(media_id, n_bytes, width, height, features[16])`` via mapInPandas.
-
-    With a codec library installed the real decode would replace
-    ``_fake_decode`` batch-for-batch (same schema, same Arrow plumbing).
-    """
+    """``(media_id, n_bytes, width, height, features[16], decoder)`` via
+    mapInPandas; ``decoder`` ∈ {'pil', 'byte-histogram'} names the path that
+    produced the row (real codec vs deterministic fallback)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob) if blob is not None else b""
-                if _HAS_PIL:
-                    # real decode path would go here; this environment has no
-                    # codec libs, so even with PIL we use the deterministic
-                    # fake to keep outputs reproducible
-                    pass
-                w, h, feats = _fake_decode(blob)
-                rows.append((int(mid), len(blob), w, h, feats.tolist()))
+                decoded = _pil_decode(blob) if _HAS_PIL else None
+                if decoded is not None:
+                    w, h, feats = decoded
+                    decoder = "pil"
+                else:
+                    w, h, feats = _byte_histogram_decode(blob)
+                    decoder = "byte-histogram"
+                rows.append((int(mid), len(blob), w, h, feats.tolist(), decoder))
             yield pd.DataFrame(
-                rows, columns=["media_id", "n_bytes", "width", "height", "features"]
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "width", "height", "features", "decoder",
+                ],
             )
 
     return media.mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
@@ -125,9 +149,76 @@ def sample_frames(
     return media.mapInPandas(_sample, FRAME_SCHEMA)
 
 
-def audio_stub(*_args, **_kwargs):
-    """Audio decode requires a codec library not present in this container."""
-    raise NotImplementedError(
-        "audio decode needs soundfile/ffmpeg, which are not available here; "
-        "use decode_image_features as the plumbing template"
-    )
+try:
+    import soundfile as _soundfile
+
+    _HAS_SOUNDFILE = True
+except ImportError:  # codec library absent in this container
+    _soundfile = None
+    _HAS_SOUNDFILE = False
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def decode_audio_features(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "media"
+) -> DataFrame:
+    """``(media_id, n_bytes, n_samples, rms, zero_crossings, peak, decoder)``.
+
+    Compressed formats decode through soundfile when importable
+    (``decoder='soundfile'``); otherwise the blob is interpreted as raw
+    16-bit little-endian PCM (``decoder='pcm16'``) — raw PCM needs no codec
+    library, so this path is a REAL signal kernel, not a fake: RMS energy,
+    zero-crossing count and peak amplitude over the int16 samples,
+    deterministic across runs and parallelism levels (a trailing odd byte
+    is ignored, matching PCM frame alignment)."""
+
+    def _features(samples: np.ndarray) -> tuple[int, float, int, int]:
+        if samples.size == 0:
+            return 0, 0.0, 0, 0
+        x = samples.astype(np.float64)
+        rms = float(np.sqrt(np.mean(x * x)))
+        signs = np.signbit(x)
+        zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+        return int(samples.size), rms, zc, int(np.max(np.abs(x)))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(blob) if blob is not None else b""
+                samples = None
+                decoder = "pcm16"
+                if _HAS_SOUNDFILE:
+                    try:
+                        data, _sr = _soundfile.read(io.BytesIO(blob), dtype="int16")
+                        samples = np.asarray(data).reshape(-1)
+                        decoder = "soundfile"
+                    except Exception:
+                        samples = None
+                if samples is None:
+                    usable = len(blob) - (len(blob) % 2)
+                    samples = np.frombuffer(blob[:usable], dtype="<i2")
+                    decoder = "pcm16"
+                n, rms, zc, peak = _features(samples)
+                rows.append((int(mid), len(blob), n, rms, zc, peak, decoder))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "n_samples", "rms",
+                    "zero_crossings", "peak", "decoder",
+                ],
+            )
+
+    return media.mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)

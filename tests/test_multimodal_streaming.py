@@ -10,7 +10,7 @@ from suggest_spark.config import DEFAULT_CONFIG
 from suggest_spark.functions.metrics import JACCARD
 from suggest_spark.operators.indexing import build_ngram_index
 from suggest_spark.operators.multimodal import (
-    audio_stub,
+    decode_audio_features,
     decode_image_features,
     sample_frames,
 )
@@ -51,9 +51,33 @@ def test_sample_frames(spark):
     assert all(len(r["frame"]) == 8 for r in out)
 
 
-def test_audio_stub_raises():
-    with pytest.raises(NotImplementedError):
-        audio_stub()
+def test_decode_image_reports_decoder_path(spark):
+    """Decode dispatch is real: non-image bytes always take the documented
+    deterministic fallback (and with PIL absent, so does everything)."""
+    out = decode_image_features(_media_df(spark)).collect()
+    assert {r["decoder"] for r in out} == {"byte-histogram"}
+
+
+def test_decode_audio_pcm16(spark):
+    """Raw PCM16 audio kernel: exact RMS / zero-crossings / peak on a known
+    square wave (no codec library needed — this is a real decode path)."""
+    import struct
+
+    square = struct.pack("<8h", 1000, 1000, -1000, -1000, 1000, 1000, -1000, -1000)
+    silence = struct.pack("<4h", 0, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(0, square), (1, silence), (2, b""), (3, square + b"\x01")],  # odd byte
+        "media_id long, media binary",
+    )
+    got = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+    assert got[0]["n_samples"] == 8
+    assert abs(got[0]["rms"] - 1000.0) < 1e-3
+    assert got[0]["zero_crossings"] == 3
+    assert got[0]["peak"] == 1000
+    assert got[1]["rms"] == 0.0 and got[1]["zero_crossings"] == 0
+    assert got[2]["n_samples"] == 0
+    assert got[3]["n_samples"] == 8  # trailing odd byte ignored
+    assert all(r["decoder"] in ("pcm16", "soundfile") for r in got.values())
 
 
 def test_streaming_suggest(spark, tmp_path):
