@@ -375,6 +375,18 @@ WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.5
 """
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as dedup_jaccard_shingles through the PREFIX-BLOCKED
+    scale path (linkage prefix filter fronts the shingle join) — identical
+    rows by construction, independently verified by the driver's value-hash
+    gate against the same oracle SQL."""
+    docs = _docs_with_near_copies(spark, sf_dir).withColumn(
+        "shingles", dedup.shingle_words(F.col("text"), 5)
+    )
+    out = dedup.jaccard_near_dup_pairs(docs, 0.5, prefix_blocked=True)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _read(spark, sf_dir, "documents")
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_jaccard_shingles": q_dedup_jaccard,
+        "dedup_jaccard_prefix_blocked": q_dedup_jaccard_prefix,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine,
@@ -1054,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_jaccard_shingles": SQL_DEDUP_JACCARD,
+        "dedup_jaccard_prefix_blocked": SQL_DEDUP_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": sql_dedup_embedding(),
         "ann_cosine_topk": SQL_ANN_COSINE,
