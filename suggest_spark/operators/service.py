@@ -1,0 +1,119 @@
+"""Multi-dictionary suggest service: named index registry + hot reindex +
+per-dictionary Suggest/Autocomplete — the Spark form of the reference's
+Service (/root/reference/pkg/suggest/service.go:20-91: a name → (NGramIndex,
+Dictionary) map swapped atomically under sync.RWMutex, reindexed live via
+SIGHUP/POST, internal/suggest/api/app.go:47-68).
+
+Spark mapping: an index "build" is a DataFrame plan over the dictionary
+table (optionally materialized to a ``partitionBy("size")`` parquet
+warehouse path — the DISC driver; cached in memory — the RAM driver); a
+reindex is a REBUILD + ATOMIC SWAP of the registry entry.  Queries running
+against the old DataFrame keep their snapshot (immutable lineage — Spark
+gives the reader-isolation the reference needs the RWMutex for); the Python
+``threading.Lock`` only guards the registry dict itself.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import DEFAULT_CONFIG, IndexConfig
+from ..functions.metrics import Metric
+from .indexing import build_ngram_index, read_ngram_index, write_ngram_index
+from .suggest import autocomplete_firstk, suggest_topk
+
+
+@dataclass(frozen=True)
+class _Entry:
+    dictionary: DataFrame
+    index: DataFrame
+    config: IndexConfig
+
+
+class SuggestService:
+    """Named registry of (dictionary, n-gram index) pairs.
+
+    ``add_ram_index``   — RAM driver: index plan cached in executor memory.
+    ``add_disc_index``  — DISC driver: index written to (or read from) a
+                          size-partitioned parquet path.
+    Re-adding a name REBUILDS and atomically swaps the entry — the hot
+    reindex path (service.go:78-91 AddIndex under Lock).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._lock = threading.Lock()
+        self._entries: dict[str, _Entry] = {}
+
+    # -- registration ------------------------------------------------------
+
+    def add_ram_index(
+        self,
+        name: str,
+        dictionary: DataFrame,
+        config: IndexConfig = DEFAULT_CONFIG,
+    ) -> None:
+        index = build_ngram_index(dictionary, config=config).cache()
+        index.count()  # materialize before the swap, like builder.Build()
+        self._swap(name, _Entry(dictionary, index, config))
+
+    def add_disc_index(
+        self,
+        name: str,
+        dictionary: DataFrame,
+        path: str,
+        config: IndexConfig = DEFAULT_CONFIG,
+        rebuild: bool = True,
+    ) -> None:
+        if rebuild:
+            write_ngram_index(build_ngram_index(dictionary, config=config), path)
+        index = read_ngram_index(self.spark, path)
+        self._swap(name, _Entry(dictionary, index, config))
+
+    def _swap(self, name: str, entry: _Entry) -> None:
+        with self._lock:
+            old = self._entries.get(name)
+            self._entries[name] = entry
+        if old is not None and old.index.is_cached:
+            old.index.unpersist()
+
+    def _get(self, name: str) -> _Entry:
+        with self._lock:
+            if name not in self._entries:
+                raise KeyError(f"unknown dictionary: {name!r}")
+            return self._entries[name]
+
+    def dictionaries(self) -> list[str]:
+        with self._lock:
+            return sorted(self._entries)
+
+    # -- queries -----------------------------------------------------------
+
+    def suggest(
+        self,
+        name: str,
+        query: str,
+        metric: Metric,
+        similarity: float,
+        topk: int,
+    ) -> list[tuple[float, str]]:
+        """Top-k ``(score, value)`` for one query — ResultItem parity
+        (service.go:105-139)."""
+        e = self._get(name)
+        q = self.spark.createDataFrame([(0, query)], "query_id long, query string")
+        rows = suggest_topk(
+            e.index, q, metric, similarity, topk, e.config, dictionary=e.dictionary
+        ).collect()
+        return [(r["score"], r["value"]) for r in rows]
+
+    def autocomplete(self, name: str, query: str, topk: int) -> list[str]:
+        """First-k values in docID order (service.go:142-173)."""
+        e = self._get(name)
+        q = self.spark.createDataFrame([(0, query)], "query_id long, query string")
+        rows = autocomplete_firstk(
+            e.index, q, topk, e.config, dictionary=e.dictionary
+        ).collect()
+        return [r["value"] for r in rows]

@@ -1,0 +1,90 @@
+"""Service-layer parity: named registry, RAM/DISC drivers, hot reindex under
+concurrent queries (reference pkg/suggest/service.go + service_test.go:11-80
+TestConcurrencyRAM/OnDisc semantics)."""
+
+import threading
+
+import pytest
+
+from suggest_spark.functions.metrics import COSINE
+from suggest_spark.operators.service import SuggestService
+
+SERVICE_CARS = [
+    "NISSAN MARCH", "NISSAN JUKE", "NISSAN MAXIMA", "NISSAN MURANO",
+    "NISSAN NOTE", "NISSAN MICRA", "TOYOTA MARK II", "TOYOTA COROLLA",
+    "TOYOTA CORONA", "HONDA FIT", "HONDA CIVIC", "HUMMER H1",
+]
+#: service_test.go:35-59 — query → expected values at Cosine α=0.7
+GOLDENS = [
+    ("Nissan March", ["NISSAN MARCH"]),
+    ("Honda Fitt", ["HONDA FIT"]),
+    ("Wolfsvagen", []),
+    ("Tayota Corolla", ["TOYOTA COROLLA"]),
+    ("Micra Nissan", ["NISSAN MICRA"]),
+]
+
+
+@pytest.fixture(scope="module")
+def cars_df(spark):
+    return spark.createDataFrame(
+        list(enumerate(SERVICE_CARS)), "doc_id long, value string"
+    ).cache()
+
+
+def test_ram_service_suggest_and_autocomplete(spark, cars_df):
+    svc = SuggestService(spark)
+    svc.add_ram_index("cars", cars_df)
+    assert svc.dictionaries() == ["cars"]
+    for query, want in GOLDENS:
+        got = [v for _, v in svc.suggest("cars", query, COSINE, 0.7, 5)]
+        assert got == want, (query, got, want)
+    assert svc.autocomplete("cars", "NISSAN", 3) == [
+        "NISSAN MARCH", "NISSAN JUKE", "NISSAN MAXIMA"
+    ]
+    with pytest.raises(KeyError):
+        svc.suggest("nope", "x", COSINE, 0.7, 5)
+
+
+def test_disc_service_roundtrip(spark, cars_df, tmp_path):
+    svc = SuggestService(spark)
+    path = str(tmp_path / "cars_index")
+    svc.add_disc_index("cars", cars_df, path)
+    got = [v for _, v in svc.suggest("cars", "Nissan March", COSINE, 0.7, 5)]
+    assert got == ["NISSAN MARCH"]
+    # a second service opens the index WITHOUT rebuilding (rebuild=False)
+    svc2 = SuggestService(spark)
+    svc2.add_disc_index("cars", cars_df, path, rebuild=False)
+    assert [v for _, v in svc2.suggest("cars", "Micra Nissan", COSINE, 0.7, 5)] == [
+        "NISSAN MICRA"
+    ]
+
+
+def test_concurrent_reindex_and_query(spark, cars_df):
+    """testConcurrency semantics: one thread reindexes 5×, another queries
+    the golden set — every query must return the golden answer throughout
+    (queries hold an immutable snapshot; the swap is atomic)."""
+    svc = SuggestService(spark)
+    svc.add_ram_index("cars", cars_df)
+    errors: list = []
+
+    def reindexer():
+        try:
+            for _ in range(5):
+                svc.add_ram_index("cars", cars_df)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def querier():
+        try:
+            for query, want in GOLDENS:
+                got = [v for _, v in svc.suggest("cars", query, COSINE, 0.7, 5)]
+                assert got == want, (query, got, want)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=reindexer), threading.Thread(target=querier)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
