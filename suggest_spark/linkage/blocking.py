@@ -53,37 +53,94 @@ def gram_document_frequency(records: DataFrame) -> DataFrame:
     )
 
 
-def term_id_table(records: DataFrame, term_df: DataFrame | None = None) -> DataFrame:
-    """``(term, tid, df)``: dense int ids in global rarity order (df asc,
-    term asc).  The character n-gram space is intrinsically bounded
-    (≤ |alphabet|^n ≈ tens of thousands), so this table broadcasts at ANY
-    corpus scale — the single-partition ranking window is safe."""
+#: hash-id packing: tid = min(df, 2^22−1) << 41 | top 41 bits of xxhash64
+_HASH_ID_DF_BITS = 22
+_HASH_ID_HASH_BITS = 63 - _HASH_ID_DF_BITS  # keep tid positive
+
+
+def term_id_table(
+    records: DataFrame,
+    term_df: DataFrame | None = None,
+    hash_ids: bool = False,
+) -> DataFrame:
+    """``(term, tid, df)``: int ids whose numeric order is a rarity-first
+    total order (rarer grams sort first).
+
+    ``hash_ids=False`` — dense ids via a single global ranking window
+    (df asc, term asc).  Right whenever the term space is bounded: character
+    n-grams are ≤ |alphabet|^n ≈ tens of thousands of rows, so the one-
+    partition window and the broadcast are safe at ANY corpus scale.
+
+    ``hash_ids=True`` — the UNBOUNDED-term-space path (word shingles over a
+    web corpus: billions of distinct shingles): tid packs the df-capped
+    rarity class into the high bits and 41 bits of xxhash64(term) into the
+    low bits — computed per-row with NO window, NO single-partition stage,
+    NO driver involvement.  Prefix-filter soundness needs only a FIXED total
+    order shared by both join sides (keep the first ``L−T+1`` array entries
+    in that order), which any deterministic packing provides; rarity-first
+    packing keeps the performance property that hot shingles stay out of
+    prefixes.  Caveat: tids must stay injective per distinct term for the
+    EXACT overlap count in scoring — a 41-bit-within-df-class collision is
+    detectable with :func:`assert_injective_tids` (one aggregate job) before
+    trusting a new corpus; candidate-stage collisions alone would only add
+    false candidates, which exact verification removes.
+    """
     if term_df is None:
         term_df = gram_document_frequency(records)
+    if hash_ids:
+        capped = F.least(F.col("df"), F.lit((1 << _HASH_ID_DF_BITS) - 1))
+        h = F.shiftrightunsigned(F.xxhash64("term"), 64 - _HASH_ID_HASH_BITS)
+        tid = F.shiftleft(capped, _HASH_ID_HASH_BITS).bitwiseOR(h)
+        return term_df.select("term", tid.cast("long").alias("tid"), "df")
     w = Window.orderBy(F.asc("df"), F.asc("term"))
-    return term_df.withColumn("tid", F.row_number().over(w).cast("int")).select(
+    return term_df.withColumn("tid", F.row_number().over(w).cast("long")).select(
         "term", "tid", "df"
     )
+
+
+def assert_injective_tids(term_table: DataFrame) -> None:
+    """Raise if two distinct terms share a tid (hash-id collision) — run
+    once per new corpus before relying on hash ids for exact scoring."""
+    row = term_table.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tid").alias("d"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"tid collision: {row['n']} terms -> {row['d']} distinct ids; "
+            "use dense ids (hash_ids=False) or rehash with a salt"
+        )
 
 
 def encode_records(
     records: DataFrame,
     term_table: DataFrame | None = None,
     df_cap: int | None = None,
+    hash_ids: bool = False,
+    broadcast_terms: bool = True,
 ) -> DataFrame:
     """``(rid, msize, delta, kappa, tids)``: each record's gram multiset as a
-    SORTED int array in global rarity order.  Sorted ids make the prefix a
-    plain slice, pair-join keys 4-byte ints, and overlap an int-set
-    intersection — a fraction of the memory traffic of string arrays."""
+    SORTED int array in rarity-first order.  Sorted ids make the prefix a
+    plain slice, pair-join keys fixed-width ints, and overlap an int-set
+    intersection — a fraction of the memory traffic of string arrays.
+
+    ``hash_ids``/``broadcast_terms``: for unbounded term spaces (word
+    shingles at web scale) pass ``hash_ids=True`` (windowless id assignment,
+    see :func:`term_id_table`) and ``broadcast_terms=False`` (the term table
+    no longer fits an executor; the encode join shuffles on ``term`` and AQE
+    handles the skewed hot-shingle keys)."""
     if term_table is None:
-        term_table = term_id_table(records)
+        term_table = term_id_table(records, hash_ids=hash_ids)
     if df_cap is not None:
         term_table = term_table.where(F.col("df") <= df_cap)
     ex = records.select(
         "rid", F.size("terms").alias("msize"), F.explode("terms").alias("term")
     )
+    tt = term_table.select("term", "tid")
+    if broadcast_terms:
+        tt = F.broadcast(tt)
     enc = (
-        ex.join(F.broadcast(term_table.select("term", "tid")), "term", "inner")
+        ex.join(tt, "term", "inner")
         .groupBy("rid", "msize")
         .agg(F.array_sort(F.collect_list("tid")).alias("tids"))
     )
