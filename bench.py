@@ -276,6 +276,33 @@ def main() -> None:
         lambda: stats.write.format("noop").mode("overwrite").save()
     )
 
+    # ---- spellchecker eval (accuracy, cmd/spellchecker eval analogue) -------
+    from suggest_spark.config import IndexConfig
+    from suggest_spark.operators.lm import build_ngram_counts
+    from suggest_spark.operators.spellcheck import evaluate
+    from suggest_spark.sources.dictionary import from_list
+
+    sam = ["i am sam", "sam i am", "i do not like green eggs and ham"]
+    sam_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sam)], "sent_id long, text string"
+    )
+    counts = {k: df.cache() for k, df in build_ngram_counts(sam_df, 3).items()}
+    sc_cfg = IndexConfig(ngram_size=2)
+    vocab = from_list(spark, sorted({w for s in sam for w in s.split()})).cache()
+    sc_index = build_ngram_index(vocab, config=sc_cfg).cache()
+    t0 = time.time()
+    report = evaluate(
+        vocab, sc_index, counts, 3, [sam[0].split()], topk=5, similarity=0.5,
+        config=sc_cfg,
+    )
+    # accuracy metrics in detail, NOT in the headline total: the eval is a
+    # driver-paced per-query loop (serving latency shape), not a throughput
+    # segment comparable across rounds
+    extra["spellcheck_eval_sec"] = round(time.time() - t0, 3)
+    extra["spellcheck_hit_at_5"] = report["hit_at_k"]
+    extra["spellcheck_mrr"] = report["mrr"]
+    extra["spellcheck_cases"] = report["n_cases"]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_wall",

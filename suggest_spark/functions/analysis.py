@@ -200,7 +200,10 @@ def _escape_for_char_class_local(chars: str) -> str:
 # P8: stop-word filter + light stemmer (reference: pkg/analysis/
 # stemmer_filter.go:17-49 with generated snowball data — present in the
 # reference but NOT wired into the suggest chain, so ranking parity does not
-# depend on it; provided here as composable column filters).
+# depend on it; provided here as composable column filters).  FULL snowball
+# parity (Porter2 en + ru, snowball stop lists, reference filter semantics)
+# lives in functions/stemmer.py — these lightweight variants stay for
+# pure-Column pipelines that cannot afford a pandas UDF.
 EN_STOP_WORDS = frozenset(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()

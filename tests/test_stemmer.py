@@ -75,6 +75,46 @@ def test_exception2_applies_after_step1a():
     assert porter2_stem("winnings") == "win"
 
 
+def test_stemmers_total_and_deterministic():
+    """Property sweep (no Spark): both stemmers are total functions —
+    no exceptions on arbitrary text — and deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=24))
+    def _en(w):
+        assert porter2_stem(w) == porter2_stem(w)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu"), whitelist_characters="ё'-"
+            ),
+            max_size=24,
+        )
+    )
+    def _ru(w):
+        assert russian_stem(w) == russian_stem(w)
+
+    _en()
+    _ru()
+
+
+def test_stemmer_never_lengthens_beyond_one():
+    """Porter2 can re-add a single 'e' after suffix removal but never grows
+    a word: len(stem) <= len(word) for words without a leading apostrophe."""
+    import random
+    import string
+
+    rng = random.Random(11)
+    for _ in range(2000):
+        w = "".join(rng.choice(string.ascii_lowercase + "'") for _ in range(rng.randint(1, 14)))
+        w = w.lstrip("'")
+        assert len(porter2_stem(w)) <= max(len(w), 2), w
+
+
 def test_spark_column_matches_python(spark):
     sentences = [s for s, _ in EN_GOLDENS] + ["Generation of generically sized arguments"]
     df = spark.createDataFrame(
