@@ -95,3 +95,34 @@ def test_sql_tokenizer_random_corpus(spark):
         rows = df.select("value", ngram_terms_col(F.col("value"), cfg).alias("t")).collect()
         for r in rows:
             assert r["t"] == tokenize(r["value"], cfg), (r["value"], cfg)
+
+
+def test_lm_chain_random_corpus(spark):
+    """Seeded random punctuation-bearing corpus: the distributed LM analysis
+    chain (separator sentence retrieval + alphabet word tokenization +
+    wrap + k-gram counting, pkg/lm/sentence_retriever.go:23-81 semantics)
+    must produce counts identical to the pure-Python chain golden."""
+    from suggest_spark.operators.lm import (
+        LMConfig,
+        build_counts_chain_py,
+        build_ngram_counts,
+    )
+
+    rng = np.random.RandomState(777)
+    pool = list("abc XYZ!?.,;019-ёжик\n\tq  .!")
+    texts = [
+        "".join(pool[i] for i in rng.randint(0, len(pool), size=rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    for cfg in (
+        LMConfig(order=3, alphabet=("english", "numbers", "-"), separators=".?!\n"),
+        LMConfig(order=2, alphabet=("english", "russian"), separators=".", start="<s>", end="</s>"),
+    ):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        counts = build_ngram_counts(docs, cfg.order, config=cfg)
+        golden = build_counts_chain_py(texts, cfg)
+        for k in range(1, cfg.order + 1):
+            got = {r["gram"]: r["cnt"] for r in counts[k].collect()}
+            assert got == golden[k], f"order {k} mismatch for {cfg}"
