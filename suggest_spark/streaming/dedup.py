@@ -1,0 +1,150 @@
+"""Streaming deduplication for an unbounded document ingest.
+
+Not in the reference (it serves static indexes only) — this is the
+training-data-pipeline shape: documents arrive continuously and each must be
+admitted exactly once, with near-duplicates of anything already admitted
+flagged at ingest time.
+
+Two tiers, mirroring the batch operators in ``operators/dedup.py``:
+
+* :func:`dedup_exact_stream` — drop re-arrivals of byte-identical text using
+  Spark's watermark-bounded streaming dedup state
+  (``dropDuplicatesWithinWatermark``).  State holds only 16-byte md5 keys
+  inside the watermark horizon, never text — the same "shuffle digests, not
+  bytes" rule the batch ``dedup_exact`` follows, so state size is bounded by
+  arrival rate × watermark, independent of document length.
+* :func:`near_dup_ingest` — per micro-batch MinHash-LSH admission against a
+  persistent **bucket registry** (a parquet table ``(bucket, doc_id)`` — the
+  streaming analogue of the batch band table).  Each batch: compute band
+  buckets for the incoming docs, anti/left-join the registry to find
+  collisions, emit every doc annotated with ``dup_of`` (the registered owner
+  of the first colliding bucket, null if novel), then append the novel docs'
+  buckets to the registry.  The registry join is an equi-join on the bucket
+  key — identical plan shape to the batch ``minhash_lsh_pairs``, so the
+  skew/AQE story carries over; the registry grows by admitted-novel docs
+  only, so boilerplate floods never amplify it.
+
+Exactly-once caveat (documented, not hidden): the registry append in
+``foreachBatch`` is at-least-once under task retry.  Replayed batches
+re-insert the same deterministic ``(bucket, doc_id)`` rows — duplicates in
+the registry change no admission decision (the join takes ``min(doc_id)``
+per bucket) — so the pipeline is idempotent in effect; a transactional table
+format (Iceberg/Delta) upgrades this to exactly-once without changing the
+plan (see tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import minhash_bands, shingle_words
+
+REGISTRY_SCHEMA = "bucket string, doc_id long"
+
+
+def dedup_exact_stream(
+    doc_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming DataFrame with byte-identical re-arrivals (within the
+    watermark horizon) dropped; first arrival wins.  Dedup key is
+    ``md5(text)`` so the streaming state store and the dedup shuffle carry
+    16-byte digests, never document bytes."""
+    doc_stream = doc_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        doc_stream.withColumn("_content_key", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_key"])
+        .drop("_content_key")
+    )
+
+
+def _read_registry(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return spark.read.schema(REGISTRY_SCHEMA).parquet(path)
+    return spark.createDataFrame([], REGISTRY_SCHEMA)
+
+
+def near_dup_ingest(
+    doc_stream: DataFrame,
+    registry_path: str,
+    sink,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """MinHash-LSH near-dup admission for a document stream.
+
+    ``sink(annotated_df, batch_id)`` receives each micro-batch with an extra
+    ``dup_of`` column: the ``doc_id`` of an already-admitted near-duplicate
+    (lowest colliding owner), or null if the document is novel.  Novel docs'
+    band buckets are appended to ``registry_path`` before the next batch.
+
+    Intra-batch collisions resolve deterministically: docs are admitted in
+    ``doc_id`` order, so of two near-dup docs in one batch the lower id is
+    novel and the higher gets ``dup_of`` = lower id.  In a chain (5 collides
+    only with 3, 3 collides with registered 1) the flagged doc's ``dup_of``
+    may itself be a flagged doc — that matches the batch pipeline's
+    transitive-closure semantics (connected components over the pair graph):
+    membership in a dup cluster is what's decided; admission = null
+    ``dup_of``, and only admitted docs' buckets enter the registry.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with_sh = batch_df.withColumn(
+            "_shingles", shingle_words(F.col(text_col), shingle_k)
+        )
+        bands = minhash_bands(
+            with_sh, n_hashes, band_size, id_col=id_col, shingles_col="_shingles"
+        ).persist()
+
+        registry = _read_registry(spark, registry_path)
+        owners = registry.groupBy("bucket").agg(F.min("doc_id").alias("_reg_owner"))
+
+        # registered owner (if any) per incoming bucket, then the intra-batch
+        # owner: the smallest unregistered doc id sharing the bucket
+        hit = bands.join(owners, "bucket", "left")
+        batch_owner = F.min(
+            F.when(F.col("_reg_owner").isNull(), F.col("id"))
+        ).over(Window.partitionBy("bucket"))
+        resolved = hit.withColumn("_batch_owner", batch_owner).withColumn(
+            "_owner", F.coalesce("_reg_owner", "_batch_owner")
+        )
+        dup_of = (
+            resolved.where(F.col("_owner") < F.col("id"))
+            .groupBy("id")
+            .agg(F.min("_owner").alias("dup_of"))
+            .withColumnRenamed("id", id_col)
+        )
+        annotated = batch_df.join(dup_of, id_col, "left")
+        sink(annotated, batch_id)
+
+        novel_ids = annotated.where(F.col("dup_of").isNull()).select(
+            F.col(id_col).alias("id")
+        )
+        (
+            bands.join(novel_ids, "id")
+            .select("bucket", F.col("id").alias("doc_id"))
+            .write.mode("append")
+            .parquet(registry_path)
+        )
+        bands.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
