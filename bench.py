@@ -264,6 +264,25 @@ def main() -> None:
     timings["ann_cosine"], n_ann = _best_of(lambda: ann.cosine_topk(q, emb, 5).count())
     extra["ann_results"] = n_ann
 
+    # IVF quality/speed vs the exact baseline (detail, not headline: the
+    # recall comparison needs both result sets collected).  The sf* synthetic
+    # embeddings are isotropic (mean pairwise cos ~ 0) — ANN's worst case —
+    # so read recall against ann_ivf_probe_frac, the fraction of cells
+    # scanned: recall >> probe_frac is the lift the quantizer provides.
+    bf = {}
+    for r in ann.cosine_topk(q, emb, 5).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cents = ann.train_ivf_centroids(emb, 32, 64, n_iters=3)
+    t0 = time.time()
+    ivf_rows = ann.ivf_topk(q, emb, 5, n_probe=4, dim=64, centroids=cents).collect()
+    extra["ann_ivf_sec"] = round(time.time() - t0, 3)
+    got = {}
+    for r in ivf_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(bf[k] & got.get(k, set())) for k in bf)
+    extra["ann_ivf_recall_at_5"] = round(hits / max(sum(len(v) for v in bf.values()), 1), 4)
+    extra["ann_ivf_probe_frac"] = round(4 / 32, 4)
+
     # ---- text stats ---------------------------------------------------------
     feats = T.quality_features(F.col("text"))
     stats = docs.select(
