@@ -141,7 +141,10 @@ def main() -> None:
         t_bs = time.time() - t0
         edges = matches.select(Fn.col("rid_a").alias("src"), Fn.col("rid_b").alias("dst"))
         n_clusters = (
-            connected_components(edges).select("cluster_id").distinct().count()
+            connected_components(edges, n_edges=n_matches)
+            .select("cluster_id")
+            .distinct()
+            .count()
         )
         t_e2e = time.time() - t0
         best_bs = t_bs if best_bs is None else min(best_bs, t_bs)

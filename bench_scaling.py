@@ -123,6 +123,8 @@ def run_single(cores: int) -> None:
     for _ in range(reps):
         t0 = time.time()
         edges = matches.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
+        # deliberately NO n_edges hint: the scaling evidence must measure the
+        # DISTRIBUTED star rounds, not the small-graph driver fast path
         n_assigned = connected_components(edges).count()
         t = time.time() - t0
         best_cc = t if best_cc is None else min(best_cc, t)

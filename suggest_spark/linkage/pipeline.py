@@ -111,7 +111,7 @@ def run_linkage(
         inputs=["records"],
     ).df
 
-    matches = cp.run_stage(
+    matches_res = cp.run_stage(
         "matches",
         lambda: score_pairs(
             pairs,
@@ -122,14 +122,19 @@ def run_linkage(
             encoded=encoded,
         ),
         inputs=["records", "pairs"],
-    ).df
+    )
+    matches = matches_res.df
 
     cluster_rounds: list[tuple[int, int]] = []
 
     def _cluster() -> DataFrame:
         edges = matches.select(F.col("rid_a").alias("src"), F.col("rid_b").alias("dst"))
+        # the matches-stage manifest already carries the edge count — small
+        # match graphs take the driver union-find path with zero extra jobs
         assigned = connected_components(
-            edges, on_round=lambda i, n: cluster_rounds.append((i, n))
+            edges,
+            on_round=lambda i, n: cluster_rounds.append((i, n)),
+            n_edges=matches_res.manifest.get("rows"),
         )
         singletons = (
             records.select("rid")

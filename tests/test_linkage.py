@@ -203,6 +203,37 @@ def test_connected_components(spark, edges):
     got = {r["rid"]: r["cluster_id"] for r in connected_components(df).collect()}
     want = _cc_oracle(edges)
     assert got == want
+    # the size-gated driver union-find path must agree exactly
+    fast = {
+        r["rid"]: r["cluster_id"]
+        for r in connected_components(df, n_edges=len(edges)).collect()
+    }
+    assert fast == want
+
+
+def test_connected_components_driver_path_binary_ids(spark):
+    """Driver union-find on BINARY(16) rids (the production id type):
+    bytearray→bytes hashing and byte-order minima must match the
+    distributed star rounds."""
+    from suggest_spark.sources.synth import url_id_py
+
+    ids = [url_id_py(f"u{i}") for i in range(12)]
+    edges = [(ids[i], ids[i + 1]) for i in range(5)] + [
+        (ids[7], ids[8]),
+        (ids[8], ids[9]),
+        (ids[10], ids[11]),
+    ]
+    df = spark.createDataFrame(edges, "src binary, dst binary")
+    slow = {
+        bytes(r["rid"]): bytes(r["cluster_id"])
+        for r in connected_components(df).collect()
+    }
+    fast = {
+        bytes(r["rid"]): bytes(r["cluster_id"])
+        for r in connected_components(df, n_edges=len(edges)).collect()
+    }
+    assert fast == slow
+    assert len(fast) == 11  # 6-node chain + 3-node chain + 2-node edge
 
 
 def test_clusters_match_entities(spark, pages, pages_pdf, tmp_path_factory):
