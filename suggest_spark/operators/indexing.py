@@ -16,6 +16,9 @@ counts downstream reproduce ScanCount semantics exactly
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,3 +65,84 @@ def write_ngram_index(index_df: DataFrame, path: str) -> None:
 
 def read_ngram_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def upsert_ngram_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    config: IndexConfig = DEFAULT_CONFIG,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "value",
+) -> dict:
+    """Incrementally maintain a size-partitioned disc index: merge new or
+    re-added documents and drop deleted ones WITHOUT rebuilding untouched
+    ``size=`` partitions.
+
+    The reference can only rebuild an index wholesale (indexer job + hot
+    swap, cmd/suggest/cmd/indexer.go:35-137); at 100 TB a daily trickle of
+    new documents must not re-shuffle the whole corpus.  Spark-native form:
+
+    1. index rows for the incoming docs → the set of AFFECTED sizes, plus
+       the sizes currently holding any incoming or deleted doc id (a
+       re-added doc whose text changed size would otherwise leave stale
+       rows in its old partition) — one column-pruned scan of
+       (doc_id, size);
+    2. partition-pruned read of ONLY those partitions, anti-join out every
+       re-added/deleted doc id, union the fresh rows;
+    3. ``partitionOverwriteMode=dynamic`` overwrite — only the affected
+       ``size=`` directories are replaced; the rest of the index is never
+       read or written.
+
+    The merged slice is pinned with an eager ``localCheckpoint`` before the
+    overwrite because source and target are the same path (a lazy plan
+    would re-read files the write is replacing).  On a transactional table
+    format (Iceberg/Delta — see sources/tables.py) the same plan runs as a
+    MERGE with snapshot isolation and no pin.
+
+    Returns ``{"sizes_touched": [...], "rows_written": int}``.
+    """
+    new_rows = build_ngram_index(new_docs, id_col, text_col, config)
+    sizes = {r["size"] for r in new_rows.select("size").distinct().collect()}
+
+    drop_ids = new_docs.select(F.col(id_col).alias("doc_id"))
+    if deleted_ids is not None:
+        deleted = deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
+        drop_ids = drop_ids.unionByName(deleted)
+    drop_ids = drop_ids.distinct()
+    # sizes currently holding any replaced/deleted id (column-pruned scan)
+    sizes |= {
+        r["size"]
+        for r in read_ngram_index(spark, path)
+        .join(drop_ids, "doc_id")
+        .select("size")
+        .distinct()
+        .collect()
+    }
+
+    sizes = sorted(sizes)
+    if not sizes:
+        return {"sizes_touched": [], "rows_written": 0}
+
+    existing = read_ngram_index(spark, path).where(F.col("size").isin(sizes))
+    kept = existing.join(drop_ids, "doc_id", "left_anti")
+    merged = (
+        kept.select("doc_id", "size", "term")
+        .unionByName(new_rows.select("doc_id", "size", "term"))
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("size")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    # dynamic overwrite replaces only partitions PRESENT in the output — an
+    # affected partition whose rows were all dropped must be deleted
+    # explicitly or its stale files would survive (Iceberg's MERGE subsumes
+    # this step on a transactional table)
+    surviving = {r["size"] for r in merged.select("size").distinct().collect()}
+    for s in set(sizes) - surviving:
+        shutil.rmtree(os.path.join(path, f"size={s}"), ignore_errors=True)
+    return {"sizes_touched": sizes, "rows_written": merged.count()}

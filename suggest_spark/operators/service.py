@@ -19,6 +19,7 @@ import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, IndexConfig
 from ..functions.metrics import Metric
@@ -31,6 +32,7 @@ class _Entry:
     dictionary: DataFrame
     index: DataFrame
     config: IndexConfig
+    path: str | None = None  # DISC entries: the size-partitioned warehouse dir
 
 
 class SuggestService:
@@ -71,7 +73,42 @@ class SuggestService:
         if rebuild:
             write_ngram_index(build_ngram_index(dictionary, config=config), path)
         index = read_ngram_index(self.spark, path)
-        self._swap(name, _Entry(dictionary, index, config))
+        self._swap(name, _Entry(dictionary, index, config, path))
+
+    def upsert_disc_index(
+        self,
+        name: str,
+        new_docs: DataFrame,
+        deleted_ids: DataFrame | None = None,
+    ) -> dict:
+        """Incremental hot reindex of a DISC entry: merge/delete documents
+        through :func:`upsert_ngram_index` (only affected ``size=``
+        partitions rewritten) and atomically swap the refreshed entry —
+        the trickle-update form of the reference's full rebuild+swap
+        (service.go:78-91).  ``new_docs`` is ``(doc_id, value)``; a doc_id
+        already present is replaced."""
+        from .indexing import upsert_ngram_index
+
+        e = self._get(name)
+        if e.path is None:
+            raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
+        stats = upsert_ngram_index(
+            self.spark, e.path, new_docs, e.config, deleted_ids
+        )
+        drop = new_docs.select("doc_id")
+        if deleted_ids is not None:
+            drop = drop.unionByName(
+                deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
+            )
+        dictionary = (
+            e.dictionary.join(drop.distinct(), "doc_id", "left_anti")
+            .unionByName(new_docs.select("doc_id", "value"))
+            .cache()
+        )
+        dictionary.count()
+        index = read_ngram_index(self.spark, e.path)
+        self._swap(name, _Entry(dictionary, index, e.config, e.path))
+        return stats
 
     def _swap(self, name: str, entry: _Entry) -> None:
         with self._lock:

@@ -73,6 +73,23 @@ def _read_registry(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame([], REGISTRY_SCHEMA)
 
 
+def compact_registry(spark: SparkSession, registry_path: str, n_files: int = 8) -> int:
+    """Rewrite the bucket registry into ``n_files`` deduplicated parquet
+    files.  Each micro-batch appends a few small files and foreachBatch
+    retries can duplicate rows (harmless for admission, wasteful on disk) —
+    run this periodically, off the ingest path.  The compacted frame is
+    pinned with an eager ``localCheckpoint`` because source and target are
+    the same directory.  Returns the registry row count after compaction."""
+    reg = (
+        _read_registry(spark, registry_path)
+        .distinct()
+        .coalesce(n_files)
+        .localCheckpoint(eager=True)
+    )
+    reg.write.mode("overwrite").parquet(registry_path)
+    return reg.count()
+
+
 def near_dup_ingest(
     doc_stream: DataFrame,
     registry_path: str,

@@ -108,3 +108,44 @@ def test_near_dup_ingest_across_batches(spark, tmp_path):
         3,
         11,
     }
+
+
+def test_compact_registry(spark, tmp_path):
+    """Compaction dedups and shrinks the registry file count without
+    changing admission decisions."""
+    import glob
+
+    from suggest_spark.streaming.dedup import compact_registry
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = r["dup_of"]
+
+    _write_jsonl(
+        ddir / "b1.json",
+        [{"doc_id": 1, "text": DOC_A}, {"doc_id": 2, "text": DOC_B}],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+    near_dup_ingest(stream, registry, sink).awaitTermination(180)
+
+    before = spark.read.parquet(registry)
+    rows_before = {(r["bucket"], r["doc_id"]) for r in before.collect()}
+    n = compact_registry(spark, registry, n_files=2)
+    after = spark.read.parquet(registry)
+    assert {(r["bucket"], r["doc_id"]) for r in after.collect()} == rows_before
+    assert n == len(rows_before)
+    assert len(glob.glob(f"{registry}/*.parquet")) <= 2
+
+    # post-compaction ingest still sees the registered owners
+    results.clear()
+    ddir2 = tmp_path / "docs2"
+    ddir2.mkdir()
+    _write_jsonl(ddir2 / "b2.json", [{"doc_id": 9, "text": DOC_A}])
+    stream2 = spark.readStream.schema("doc_id long, text string").json(str(ddir2))
+    near_dup_ingest(stream2, registry, sink).awaitTermination(180)
+    assert results[9] == 1
