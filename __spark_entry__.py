@@ -226,6 +226,51 @@ SELECT t.doc_id, CAST(s.size AS INT) AS size, t.term
 FROM toks t JOIN sized s USING (doc_id)
 """
 
+_UPSERT_NEW = [(10, "upserted omega widget"), (100000, "brand new zeta gizmo")]
+_UPSERT_DELETED = [20]
+
+
+def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental disc-index maintenance under the value-hash gate: build
+    the doc_id<200 index on disk, upsert (replace doc 10, add a new doc,
+    delete doc 20) through the partition-pruned dynamic-overwrite path, and
+    return the FINAL ON-DISK index — the oracle rebuilds the post-upsert
+    dictionary from scratch, so any stale or lost row hash-mismatches."""
+    import tempfile
+
+    from suggest_spark.operators.indexing import (
+        read_ngram_index,
+        upsert_ngram_index,
+        write_ngram_index,
+    )
+
+    dictionary = _part_dictionary(spark, sf_dir).where(F.col("doc_id") < 200)
+    path = tempfile.mkdtemp(prefix="upsert_gate_") + "/idx"
+    write_ngram_index(build_ngram_index(dictionary, config=CFG), path)
+    new_docs = spark.createDataFrame(_UPSERT_NEW, "doc_id long, value string")
+    deleted = spark.createDataFrame([(i,) for i in _UPSERT_DELETED], "doc_id long")
+    upsert_ngram_index(spark, path, new_docs, CFG, deleted_ids=deleted)
+    return read_ngram_index(spark, path).select(
+        "doc_id", F.col("size").cast("int").alias("size"), "term"
+    )
+
+
+_upsert_values = ", ".join(f"({i}, '{v}')" for i, v in _UPSERT_NEW)
+_upsert_gone = ", ".join(str(i) for i in [i for i, _ in _UPSERT_NEW] + _UPSERT_DELETED)
+SQL_INDEX_UPSERT = f"""
+WITH dict AS (
+  SELECT p_partkey AS doc_id, p_name AS value FROM part
+  WHERE p_partkey < 200 AND p_partkey NOT IN ({_upsert_gone})
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), value
+  FROM (VALUES {_upsert_values}) AS t(doc_id, value)
+),
+toks AS (SELECT doc_id, unnest({duckdb_terms_sql('value', CFG)}) AS term FROM dict),
+sized AS (SELECT doc_id, count(*) AS size FROM toks GROUP BY doc_id)
+SELECT t.doc_id, CAST(s.size AS INT) AS size, t.term
+FROM toks t JOIN sized s USING (doc_id)
+"""
+
 
 def q_selfjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity self-join (near-dup part names): the blocking+scoring
@@ -1026,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix_jaccard_topk": q_suggest_prefix(JACCARD, 0.5, 5),
         "autocomplete_firstk": q_autocomplete(5),
         "ngram_index_build": q_index_build,
+        "ngram_index_upsert": q_index_upsert,
         "selfjoin_jaccard": q_selfjoin_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1063,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix_jaccard_topk": sql_suggest(JACCARD, 0.5, 5),
         "autocomplete_firstk": sql_autocomplete(5),
         "ngram_index_build": SQL_INDEX_BUILD,
+        "ngram_index_upsert": SQL_INDEX_UPSERT,
         "selfjoin_jaccard": SQL_SELFJOIN_JACCARD,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
