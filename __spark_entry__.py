@@ -658,6 +658,87 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
+def _curation_cfg():
+    from suggest_spark.operators.curation import CurationConfig
+
+    # thresholds tuned so every funnel stage fires on the sf documents table
+    return CurationConfig(
+        langs=("en",),
+        min_words=8,
+        max_words=60,
+        min_alpha_ratio=0.55,
+        max_digit_ratio=0.2,
+        min_stopword_ratio=0.05,
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from suggest_spark.operators.curation import curate_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return curate_documents(docs, _curation_cfg())
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from suggest_spark.operators.curation import curation_funnel
+
+    docs = _read(spark, sf_dir, "documents")
+    return curation_funnel(docs, _curation_cfg())
+
+
+def _sql_curation_final() -> str:
+    cfg = _curation_cfg()
+    qf = T.duckdb_quality_sql("text")
+    tk = T.duckdb_token_counts_sql("text")
+    langs = ", ".join(f"'{lang}'" for lang in cfg.langs)
+    return f"""
+WITH ann AS (
+  SELECT doc_id,
+         {T.duckdb_predicted_lang_sql('text')} AS lang,
+         {qf['n_chars']} AS n_chars, {qf['n_words']} AS n_words,
+         {qf['mean_word_len']} AS mean_word_len, {qf['alpha_ratio']} AS alpha_ratio,
+         {qf['digit_ratio']} AS digit_ratio, {qf['stopword_ratio']} AS stopword_ratio,
+         {tk['re_tokens']} AS re_tokens,
+         md5(text) AS content_key
+  FROM documents
+),
+flagged AS (
+  SELECT *, CASE WHEN lang NOT IN ({langs}) THEN 'lang'
+                 WHEN n_words < {cfg.min_words} THEN 'too_short'
+                 WHEN n_words > {cfg.max_words} THEN 'too_long'
+                 WHEN alpha_ratio < {cfg.min_alpha_ratio} THEN 'low_alpha'
+                 WHEN digit_ratio > {cfg.max_digit_ratio} THEN 'high_digit'
+                 WHEN stopword_ratio < {cfg.min_stopword_ratio} THEN 'low_stopword'
+            END AS filter_reason
+  FROM ann
+),
+final AS (
+  SELECT *, coalesce(filter_reason,
+                     CASE WHEN row_number() OVER (
+                            PARTITION BY (filter_reason IS NULL), content_key
+                            ORDER BY doc_id) > 1
+                          THEN 'duplicate' END,
+                     'kept') AS reason
+  FROM flagged
+)
+"""
+
+
+SQL_CORPUS_CURATION = (
+    _sql_curation_final()
+    + """
+SELECT doc_id, lang, n_chars, n_words, mean_word_len, alpha_ratio,
+       digit_ratio, stopword_ratio, re_tokens
+FROM final WHERE reason = 'kept'
+"""
+)
+
+SQL_CURATION_FUNNEL = (
+    _sql_curation_final()
+    + "SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM final GROUP BY reason"
+)
+
+
 SQL_QUALITY = (
     "SELECT doc_id, "
     + ", ".join(f"{e} AS {n}" for n, e in T.duckdb_quality_sql("text").items())
@@ -1086,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
+        "corpus_curation": q_corpus_curation,
+        "curation_funnel": q_curation_funnel,
         "lm_bigram_counts": q_lm_bigrams,
         "lm_trigram_counts": q_lm_trigrams,
         "lm_backoff_score": q_lm_backoff_score,
@@ -1124,6 +1207,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "corpus_curation": SQL_CORPUS_CURATION,
+        "curation_funnel": SQL_CURATION_FUNNEL,
         "lm_bigram_counts": SQL_LM_BIGRAMS,
         "lm_trigram_counts": SQL_LM_TRIGRAMS,
         "lm_backoff_score": sql_lm_backoff_score(),
