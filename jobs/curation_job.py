@@ -1,0 +1,125 @@
+"""spark-submit corpus-curation job: the full training-data admission
+pipeline over a parquet documents table.
+
+    python jobs/curation_job.py --input docs_dir --output out_dir \
+        [--near-dup] [--min-words N] [--langs en,de] ...
+
+Stages (all one Spark application, each auditable):
+
+1. ``curate_documents``  — lang / length / quality filters + exact dedup
+   (operators/curation.py; one codegen plan, one digest shuffle).
+2. optional ``--near-dup`` — MinHash-LSH pairs over the survivors' texts,
+   transitive clusters via connected components (edge count is known from
+   the pair count, so small graphs take the driver union-find path), keep
+   the minimum doc_id per cluster.
+3. writes ``<output>/curated`` parquet + ``<output>/funnel.json`` and
+   prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from suggest_spark.linkage.clustering import connected_components
+from suggest_spark.operators.curation import (
+    CurationConfig,
+    curate_documents,
+    curation_funnel,
+)
+from suggest_spark.operators.dedup import minhash_lsh_pairs, shingle_words
+from suggest_spark.plans.session import get_spark
+
+
+def run_curation(
+    spark,
+    input_path: str,
+    output_path: str,
+    config: CurationConfig = CurationConfig(),
+    near_dup: bool = False,
+    shingle_k: int = 5,
+) -> dict:
+    docs = spark.read.parquet(input_path).select("doc_id", "text")
+
+    funnel = {
+        r["reason"]: r["n_docs"] for r in curation_funnel(docs, config).collect()
+    }
+    curated = curate_documents(docs, config).join(docs, "doc_id").persist()
+    n_curated = curated.count()
+
+    n_near_dup = 0
+    if near_dup:
+        with_sh = curated.withColumn(
+            "shingles", shingle_words(F.col("text"), shingle_k)
+        )
+        pairs = minhash_lsh_pairs(
+            with_sh, id_col="doc_id", shingles_col="shingles"
+        ).persist()
+        n_pairs = pairs.count()
+        if n_pairs:
+            clusters = connected_components(
+                pairs.select(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                n_edges=n_pairs,
+            )
+            losers = clusters.where(F.col("rid") != F.col("cluster_id")).select(
+                F.col("rid").alias("doc_id")
+            )
+            n_near_dup = losers.count()
+            curated = curated.join(losers, "doc_id", "left_anti")
+        pairs.unpersist()
+
+    curated_path = os.path.join(output_path, "curated")
+    curated.write.mode("overwrite").parquet(curated_path)
+    funnel["near_duplicate"] = n_near_dup
+
+    os.makedirs(output_path, exist_ok=True)
+    with open(os.path.join(output_path, "funnel.json"), "w") as f:
+        json.dump(funnel, f, indent=1)
+    return {
+        "input": input_path,
+        "curated": curated_path,
+        "n_curated": n_curated - n_near_dup,
+        "funnel": funnel,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir/file with (doc_id, text)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--max-words", type=int, default=100_000)
+    ap.add_argument("--min-alpha-ratio", type=float, default=0.5)
+    ap.add_argument("--max-digit-ratio", type=float, default=0.3)
+    ap.add_argument("--min-stopword-ratio", type=float, default=0.01)
+    ap.add_argument("--master", default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    args = ap.parse_args()
+
+    config = CurationConfig(
+        langs=tuple(args.langs.split(",")),
+        min_words=args.min_words,
+        max_words=args.max_words,
+        min_alpha_ratio=args.min_alpha_ratio,
+        max_digit_ratio=args.max_digit_ratio,
+        min_stopword_ratio=args.min_stopword_ratio,
+    )
+    spark = get_spark(app_name="corpus_curation", master=args.master)
+    t0 = time.time()
+    res = run_curation(spark, args.input, args.output, config, near_dup=args.near_dup)
+    res["t_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,31 @@ def test_lm_count_job_matches_reference_fixtures(spark, tmp_path):
         mine = _read_kgm(os.path.join(res["output"], f"{order}-gm", "part-*.csv"))
         golden = _read_kgm(f"{REF}/pkg/lm/testdata/fixtures/{order}-gm")
         assert mine == golden, f"{order}-gm mismatch vs reference fixture"
+
+
+def test_curation_job_end_to_end(spark, tmp_path):
+    """The curation job over the sf0.001 documents table: funnel accounts
+    for every input doc, curated output readable, near-dup stage composes."""
+    from jobs.curation_job import run_curation
+    from suggest_spark.operators.curation import CurationConfig
+
+    out = str(tmp_path / "out")
+    res = run_curation(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        out,
+        CurationConfig(langs=("en",), min_words=8, max_words=60,
+                       min_alpha_ratio=0.55, max_digit_ratio=0.2,
+                       min_stopword_ratio=0.05),
+        near_dup=True,
+    )
+    n_input = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    funnel = res["funnel"]
+    assert sum(v for k, v in funnel.items() if k != "near_duplicate") == n_input
+    curated = spark.read.parquet(res["curated"])
+    assert curated.count() == res["n_curated"] > 0
+    assert {"doc_id", "text", "lang", "n_words"} <= set(curated.columns)
+    import json as _json
+
+    with open(f"{out}/funnel.json") as f:
+        assert _json.load(f) == funnel
