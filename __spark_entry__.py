@@ -658,6 +658,42 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    feats = T.repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+SQL_TEXT_REPETITION = (
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {n}" for n, e in T.duckdb_repetition_sql("text").items())
+    + " FROM documents"
+)
+
+#: literal PII appended to every document so the redaction path fires on
+#: every row even though the synthetic corpus itself is clean
+_PII_SUFFIX = " contact bob.smith+tag@example.co.uk via https://ex.io/p?q=1 or +1 (555) 123-4567"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+    )
+    counts = T.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(T.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def _sql_pii() -> str:
+    text = f"text || '{_PII_SUFFIX}'"
+    p = T.duckdb_pii_sql(text)
+    cols = ", ".join(f"{e} AS {n}" for n, e in p.items() if n != "redacted")
+    return f"SELECT doc_id, {cols}, md5({p['redacted']}) AS redacted_md5 FROM documents"
+
+
 def _curation_cfg():
     from suggest_spark.operators.curation import CurationConfig
 
@@ -1169,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "corpus_curation": q_corpus_curation,
         "curation_funnel": q_curation_funnel,
+        "text_repetition": q_text_repetition,
+        "pii_redaction": q_pii_redaction,
         "lm_bigram_counts": q_lm_bigrams,
         "lm_trigram_counts": q_lm_trigrams,
         "lm_backoff_score": q_lm_backoff_score,
@@ -1209,6 +1247,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "corpus_curation": SQL_CORPUS_CURATION,
         "curation_funnel": SQL_CURATION_FUNNEL,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "pii_redaction": _sql_pii(),
         "lm_bigram_counts": SQL_LM_BIGRAMS,
         "lm_trigram_counts": SQL_LM_TRIGRAMS,
         "lm_backoff_score": sql_lm_backoff_score(),

@@ -143,3 +143,99 @@ def duckdb_fingerprint_sql(shingles_expr: str, k: int = 4) -> str:
     return (
         f"array_to_string(list_sort(list_transform({shingles_expr}, s -> md5(s)))[1:{k}], '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Repetition signals used by pretraining-corpus quality filters
+    (cf. Gopher's repetition heuristics): fraction of duplicate lines,
+    duplicate words, and duplicate word-bigrams.  All linear-time column
+    expressions — no quadratic per-doc work, no UDFs."""
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    words = _words(text)
+    n_words = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(n > 0, 1 - F.size(F.array_distinct(arr)) / n).otherwise(0.0), 6
+        )
+
+    return {
+        "dup_line_ratio": dup_ratio(lines),
+        "dup_word_ratio": dup_ratio(words),
+        "dup_bigram_ratio": dup_ratio(bigrams),
+    }
+
+
+def duckdb_repetition_sql(text_expr: str) -> dict[str, str]:
+    words = f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), w -> w != '')"
+    lines = f"list_filter(string_split({text_expr}, chr(10)), ln -> trim(ln) != '')"
+    bigrams = (
+        f"list_transform(range(1, greatest(len({words}), 1)), "
+        f"i -> ({words})[i] || ' ' || ({words})[i+1])"
+    )
+
+    def dup(arr):
+        return (
+            f"round(CASE WHEN len({arr}) > 0 "
+            f"THEN 1 - CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr}) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    return {
+        "dup_line_ratio": dup(lines),
+        "dup_word_ratio": dup(words),
+        "dup_bigram_ratio": dup(bigrams),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB)
+URL_RE = "https?://[^\\s]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,14}[0-9]"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Counts per PII category, matched in redaction order (URLs first so a
+    mailto-ish URL isn't double-counted as an email)."""
+    after_url = F.regexp_replace(text, URL_RE, "<URL>")
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    return {
+        "n_urls": F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)).cast("int"),
+        "n_emails": F.size(F.regexp_extract_all(after_url, F.lit(EMAIL_RE), 0)).cast("int"),
+        "n_phones": F.size(F.regexp_extract_all(after_email, F.lit(PHONE_RE), 0)).cast("int"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs, emails, then phone-like digit runs with typed tokens."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def duckdb_pii_sql(text_expr: str) -> dict[str, str]:
+    """SQL twins; DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics."""
+    after_url = f"regexp_replace({text_expr}, '{URL_RE}', '<URL>', 'g')"
+    after_email = f"regexp_replace({after_url}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return {
+        "n_urls": f"CAST(len(regexp_extract_all({text_expr}, '{URL_RE}')) AS INT)",
+        "n_emails": f"CAST(len(regexp_extract_all({after_url}, '{EMAIL_RE}')) AS INT)",
+        "n_phones": f"CAST(len(regexp_extract_all({after_email}, '{PHONE_RE}')) AS INT)",
+        "redacted": f"regexp_replace({after_email}, '{PHONE_RE}', '<PHONE>', 'g')",
+    }
