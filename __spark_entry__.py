@@ -705,6 +705,7 @@ def _curation_cfg():
         min_alpha_ratio=0.55,
         max_digit_ratio=0.2,
         min_stopword_ratio=0.05,
+        max_dup_bigram_ratio=0.06,
     )
 
 
@@ -726,6 +727,7 @@ def _sql_curation_final() -> str:
     cfg = _curation_cfg()
     qf = T.duckdb_quality_sql("text")
     tk = T.duckdb_token_counts_sql("text")
+    rp = T.duckdb_repetition_sql("text")
     langs = ", ".join(f"'{lang}'" for lang in cfg.langs)
     return f"""
 WITH ann AS (
@@ -735,6 +737,9 @@ WITH ann AS (
          {qf['mean_word_len']} AS mean_word_len, {qf['alpha_ratio']} AS alpha_ratio,
          {qf['digit_ratio']} AS digit_ratio, {qf['stopword_ratio']} AS stopword_ratio,
          {tk['re_tokens']} AS re_tokens,
+         {rp['dup_line_ratio']} AS dup_line_ratio,
+         {rp['dup_word_ratio']} AS dup_word_ratio,
+         {rp['dup_bigram_ratio']} AS dup_bigram_ratio,
          md5(text) AS content_key
   FROM documents
 ),
@@ -745,6 +750,9 @@ flagged AS (
                  WHEN alpha_ratio < {cfg.min_alpha_ratio} THEN 'low_alpha'
                  WHEN digit_ratio > {cfg.max_digit_ratio} THEN 'high_digit'
                  WHEN stopword_ratio < {cfg.min_stopword_ratio} THEN 'low_stopword'
+                 WHEN dup_line_ratio > {cfg.max_dup_line_ratio} THEN 'rep_line'
+                 WHEN dup_word_ratio > {cfg.max_dup_word_ratio} THEN 'rep_word'
+                 WHEN dup_bigram_ratio > {cfg.max_dup_bigram_ratio} THEN 'rep_bigram'
             END AS filter_reason
   FROM ann
 ),
@@ -764,7 +772,8 @@ SQL_CORPUS_CURATION = (
     _sql_curation_final()
     + """
 SELECT doc_id, lang, n_chars, n_words, mean_word_len, alpha_ratio,
-       digit_ratio, stopword_ratio, re_tokens
+       digit_ratio, stopword_ratio, re_tokens,
+       dup_line_ratio, dup_word_ratio, dup_bigram_ratio
 FROM final WHERE reason = 'kept'
 """
 )

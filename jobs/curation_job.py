@@ -103,6 +103,9 @@ def main() -> None:
     ap.add_argument("--min-alpha-ratio", type=float, default=0.5)
     ap.add_argument("--max-digit-ratio", type=float, default=0.3)
     ap.add_argument("--min-stopword-ratio", type=float, default=0.01)
+    ap.add_argument("--max-dup-line-ratio", type=float, default=1.0)
+    ap.add_argument("--max-dup-word-ratio", type=float, default=1.0)
+    ap.add_argument("--max-dup-bigram-ratio", type=float, default=1.0)
     ap.add_argument("--master", default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     args = ap.parse_args()
 
@@ -113,6 +116,9 @@ def main() -> None:
         min_alpha_ratio=args.min_alpha_ratio,
         max_digit_ratio=args.max_digit_ratio,
         min_stopword_ratio=args.min_stopword_ratio,
+        max_dup_line_ratio=args.max_dup_line_ratio,
+        max_dup_word_ratio=args.max_dup_word_ratio,
+        max_dup_bigram_ratio=args.max_dup_bigram_ratio,
     )
     spark = get_spark(app_name="corpus_curation", master=args.master)
     t0 = time.time()

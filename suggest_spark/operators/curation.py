@@ -23,7 +23,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import predicted_lang, quality_features, token_counts
+from ..functions.text import (
+    predicted_lang,
+    quality_features,
+    repetition_features,
+    token_counts,
+)
 
 
 @dataclass(frozen=True)
@@ -36,24 +41,33 @@ class CurationConfig:
     min_alpha_ratio: float = 0.5
     max_digit_ratio: float = 0.3
     min_stopword_ratio: float = 0.01
+    #: Gopher-style repetition caps; 1.0 disables a stage
+    max_dup_line_ratio: float = 1.0
+    max_dup_word_ratio: float = 1.0
+    max_dup_bigram_ratio: float = 1.0
 
 
 DEFAULT_CURATION = CurationConfig()
 
 #: funnel stages in decision order; a doc gets the FIRST reason it fails
-REASONS = ("lang", "too_short", "too_long", "low_alpha", "high_digit", "low_stopword", "duplicate", "kept")
+REASONS = (
+    "lang", "too_short", "too_long", "low_alpha", "high_digit",
+    "low_stopword", "rep_line", "rep_word", "rep_bigram", "duplicate", "kept",
+)
 
 
 def _annotated(docs: DataFrame, config: CurationConfig, id_col: str, text_col: str) -> DataFrame:
     text = F.col(text_col)
     feats = quality_features(text)
     toks = token_counts(text)
+    reps = repetition_features(text)
     ann = docs.select(
         F.col(id_col).alias("doc_id"),
         text.alias("text"),
         predicted_lang(text).alias("lang"),
         *[c.alias(n) for n, c in feats.items()],
         toks["re_tokens"].alias("re_tokens"),
+        *[c.alias(n) for n, c in reps.items()],
         F.md5(text).alias("content_key"),
     )
     reason = (
@@ -63,6 +77,9 @@ def _annotated(docs: DataFrame, config: CurationConfig, id_col: str, text_col: s
         .when(F.col("alpha_ratio") < config.min_alpha_ratio, F.lit("low_alpha"))
         .when(F.col("digit_ratio") > config.max_digit_ratio, F.lit("high_digit"))
         .when(F.col("stopword_ratio") < config.min_stopword_ratio, F.lit("low_stopword"))
+        .when(F.col("dup_line_ratio") > config.max_dup_line_ratio, F.lit("rep_line"))
+        .when(F.col("dup_word_ratio") > config.max_dup_word_ratio, F.lit("rep_word"))
+        .when(F.col("dup_bigram_ratio") > config.max_dup_bigram_ratio, F.lit("rep_bigram"))
     )
     ann = ann.withColumn("_filter_reason", reason).withColumn(
         "_passing", F.col("_filter_reason").isNull()
@@ -88,8 +105,9 @@ def curate_documents(
 ) -> DataFrame:
     """Surviving documents with their audit features:
     ``(doc_id, lang, n_chars, n_words, mean_word_len, alpha_ratio,
-    digit_ratio, stopword_ratio, re_tokens)``.  First arrival (lowest
-    doc_id) wins among byte-identical texts."""
+    digit_ratio, stopword_ratio, re_tokens, dup_line_ratio,
+    dup_word_ratio, dup_bigram_ratio)``.  First arrival (lowest doc_id)
+    wins among byte-identical texts."""
     ann = _annotated(docs, config, id_col, text_col)
     return ann.where(F.col("reason") == "kept").select(
         "doc_id",
@@ -101,6 +119,9 @@ def curate_documents(
         "digit_ratio",
         "stopword_ratio",
         "re_tokens",
+        "dup_line_ratio",
+        "dup_word_ratio",
+        "dup_bigram_ratio",
     )
 
 

@@ -74,3 +74,18 @@ def test_funnel_sums_to_input(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     total = curation_funnel(docs, CFG).agg(F.sum("n_docs")).first()[0]
     assert total == len(DOCS)
+
+
+def test_repetition_stage(spark):
+    """Repetition caps slot into the funnel between quality filters and
+    dedup; disabled (1.0) by default."""
+    cfg = CurationConfig(
+        langs=("en",), min_words=4, max_words=50, min_alpha_ratio=0.3,
+        max_digit_ratio=0.5, min_stopword_ratio=0.05, max_dup_word_ratio=0.4,
+    )
+    docs = spark.createDataFrame(
+        [(1, EN_OK), (2, "the fox the fox the fox the fox")],  # dup_word .75
+        "doc_id long, text string",
+    )
+    funnel = {r["reason"]: r["n_docs"] for r in curation_funnel(docs, cfg).collect()}
+    assert funnel == {"kept": 1, "rep_word": 1}
