@@ -48,3 +48,51 @@ def write_pages(df: DataFrame, location: str, iceberg: bool | None = None) -> No
         df.writeTo(location).partitionedBy(df.lang).createOrReplace()
     else:
         df.write.mode("overwrite").partitionBy("lang").parquet(location)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on the join
+    key.  Two tables bucketed the same way join WITHOUT a shuffle — each
+    task reads matching buckets from both sides (SortMergeJoin with zero
+    Exchange; the sort is also pre-done when ``sort=True``).  This is the
+    at-rest co-location strategy for the 100 TB regime: the records table
+    and every per-stage derivative (pairs, matches) bucket on ``rid``, so
+    the pipeline's joins never re-shuffle the big side.
+
+    Spark bucketing requires the session catalog (``saveAsTable``), not
+    path-based parquet — configure ``spark.sql.warehouse.dir``.  On
+    Iceberg the equivalent is a ``bucket(N, col)`` partition transform.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join_is_shuffle_free(spark: SparkSession, left: str, right: str, on: str) -> bool:
+    """True when joining the two bucketed tables plans NO shuffle exchange
+    on either side — the plan-level proof of co-location (used by tests;
+    call it on a sample in production to validate a layout assumption).
+    Broadcast joins trivially avoid shuffles, so broadcasting is disabled
+    around the probe: the question is whether the SORT-MERGE join — the
+    only strategy available when both sides are 100 TB-class — can run on
+    the at-rest layout alone."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            spark.table(left)
+            .join(spark.table(right), on)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    return "Exchange hashpartitioning" not in plan and "SortMergeJoin" in plan
