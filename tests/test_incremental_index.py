@@ -95,3 +95,47 @@ def test_service_upsert_disc_index(spark, tmp_path):
     assert all(v != "Honda Fit" for _, v in svc.suggest("cars", "honda fit", JACCARD, 0.1, 5))
     # untouched entries still served
     assert svc.suggest("cars", "Nissan ma", JACCARD, 0.5, 2)[0][1] == "Nissan Maxima"
+
+
+def test_randomized_upsert_sequence_matches_rebuild(spark, tmp_path):
+    """Seeded random add/replace/delete rounds: after each round the on-disk
+    index must equal a from-scratch build of the tracked dictionary."""
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+
+    def rand_value():
+        return " ".join(words[i] for i in rng.randint(0, len(words), size=rng.randint(1, 4)))
+
+    state = {i: rand_value() for i in range(30)}
+    path = str(tmp_path / "ridx")
+    write_ngram_index(
+        build_ngram_index(
+            spark.createDataFrame(sorted(state.items()), "doc_id long, value string")
+        ),
+        path,
+    )
+
+    for _ in range(3):
+        n_new = rng.randint(1, 5)
+        new_ids = rng.choice(60, size=n_new, replace=False)
+        new_docs = [(int(i), rand_value()) for i in new_ids]
+        victims = [int(i) for i in rng.choice(sorted(state), size=2, replace=False)
+                   if int(i) not in {i for i, _ in new_docs}]
+        upsert_ngram_index(
+            spark,
+            path,
+            spark.createDataFrame(new_docs, "doc_id long, value string"),
+            deleted_ids=spark.createDataFrame([(v,) for v in victims], "doc_id long")
+            if victims
+            else None,
+        )
+        for i, v in new_docs:
+            state[i] = v
+        for v in victims:
+            state.pop(v, None)
+        want = build_ngram_index(
+            spark.createDataFrame(sorted(state.items()), "doc_id long, value string")
+        )
+        assert _rows(read_ngram_index(spark, path)) == _rows(want)
