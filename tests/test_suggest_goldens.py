@@ -204,3 +204,33 @@ def test_prefix_path_multiset_duplicates(spark):
         ]
         assert pref == plain, f"{metric.name} alpha={alpha}"
         assert plain, "fixture must produce matches"
+
+
+def test_no_broadcast_queries_path_identical(spark):
+    """broadcast_queries=False (the web-scale huge-batch regime where the
+    query side itself shuffles) must produce byte-identical results to the
+    broadcast path, and its plan must not broadcast the gram side."""
+    from suggest_spark.sources.dictionary import from_list
+
+    dictionary = from_list(
+        spark,
+        ["Nissan March", "Nissan Juke", "Nissan Maxima", "Toyota Corolla",
+         "Toyota Corona", "Honda Fit", "Lada Kalina", "Mazda Demio"],
+    )
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG).cache()
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(
+            ["nissan ma", "toyta cor", "hnda fi", "lada", "mazda de"] * 4)],
+        "query_id long, query string",
+    )
+
+    def rows(broadcast):
+        out = suggest_topk(
+            index, queries, JACCARD, 0.4, 3, DEFAULT_CONFIG,
+            dictionary=dictionary, broadcast_queries=broadcast,
+        )
+        return [(r["query_id"], r["doc_id"], r["score"], r["rank"], r["value"])
+                for r in out.collect()]
+
+    assert rows(False) == rows(True)
+    assert rows(True), "fixture must produce matches"
