@@ -79,6 +79,19 @@ def _pil_decode(blob: bytes):
     return img.width, img.height, feats
 
 
+def decode_one_image(blob: bytes) -> tuple[int, int, np.ndarray, str]:
+    """Per-blob decode dispatch: the real codec when PIL is importable AND
+    the bytes parse, else the deterministic byte-level fallback.  Module-
+    level so the PIL branch is unit-testable with a stubbed codec even in
+    containers without PIL (tests/test_multimodal_streaming.py)."""
+    decoded = _pil_decode(blob) if _HAS_PIL else None
+    if decoded is not None:
+        w, h, feats = decoded
+        return w, h, feats, "pil"
+    w, h, feats = _byte_histogram_decode(blob)
+    return w, h, feats, "byte-histogram"
+
+
 def decode_image_features(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "media"
 ) -> DataFrame:
@@ -91,13 +104,7 @@ def decode_image_features(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(blob) if blob is not None else b""
-                decoded = _pil_decode(blob) if _HAS_PIL else None
-                if decoded is not None:
-                    w, h, feats = decoded
-                    decoder = "pil"
-                else:
-                    w, h, feats = _byte_histogram_decode(blob)
-                    decoder = "byte-histogram"
+                w, h, feats, decoder = decode_one_image(blob)
                 rows.append((int(mid), len(blob), w, h, feats.tolist(), decoder))
             yield pd.DataFrame(
                 rows,

@@ -145,3 +145,43 @@ def test_windowed_event_counts_batch_parity(spark, tmp_path):
     want = {(r["win"]["start"], r["event_type"]): r["n_events"] for r in batch}
     got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out_rows}
     assert got == want
+
+
+def test_pil_branch_with_stubbed_codec(monkeypatch):
+    """Execute the REAL-decode branch without PIL installed: stub the codec
+    object so Image.open returns a decodable 2x2 image, and assert the
+    dispatch takes the 'pil' path with the codec's dimensions and a correct
+    grayscale histogram; undecodable bytes must still fall back."""
+    import numpy as np
+
+    from suggest_spark.operators import multimodal as mm
+
+    class FakeImg:
+        width, height = 2, 2
+
+        def load(self):
+            pass
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.array([[0, 16], [240, 255]], dtype=np.uint8)
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"IMG!":
+                raise ValueError("not an image")
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "Image", FakeImage)
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+
+    w, h, feats, decoder = mm.decode_one_image(b"IMG!rest-of-blob")
+    assert (w, h, decoder) == (2, 2, "pil")
+    # pixels 0,16 -> bins 0,1; 240,255 -> bin 15; L1-normalized
+    want = np.zeros(16, np.float32)
+    want[0], want[1], want[15] = 0.25, 0.25, 0.5
+    assert np.allclose(feats, want)
+
+    _, _, _, decoder2 = mm.decode_one_image(b"\x89not-an-image")
+    assert decoder2 == "byte-histogram"
