@@ -598,6 +598,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ivf query answered from the at-rest cell-partitioned layout
+    (write_ivf + partition-pruned probe) — shares ann_ivf's oracle because
+    the physical path must not change the answer."""
+    import tempfile
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    cents = ann.make_ivf_centroids(8, 64, seed=42)
+    path = tempfile.mkdtemp(prefix="ivf_gate_") + "/ivf"
+    ann.write_ivf(emb, path, cents)
+    out = ann.ivf_probe_topk(spark, path, queries, 5, cents, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def sql_ann_ivf() -> str:
     cs = ann.make_ivf_centroids(8, 64, seed=42)
 
@@ -1208,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_signlsh_topk": q_ann_signlsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_at_rest": q_ann_ivf_at_rest,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_count": q_token_count,
@@ -1250,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_signlsh_topk": sql_ann_signlsh(),
         "ann_ivf_topk": sql_ann_ivf(),
+        "ann_ivf_at_rest": sql_ann_ivf(),
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
