@@ -199,3 +199,69 @@ def evaluate(
         "similarity": similarity,
         "prefix_len": prefix_len,
     }
+
+
+class SpellChecker:
+    """Bound spellchecker: vocabulary + index + LM counts, exposing the
+    reference's ``Predict(query, topK, similarity)`` surface
+    (pkg/spellchecker/spellchecker.go:39-92) — the object the service layer
+    holds per dictionary (internal/spellchecker/api/app.go:63)."""
+
+    def __init__(self, vocab, index_df, counts, order, config):
+        self.vocab = vocab
+        self.index = index_df
+        self.counts = counts
+        self.order = order
+        self.config = config
+
+    def predict(self, query: str, topk: int = 5, similarity: float = 0.5) -> list[str]:
+        return predict(
+            self.vocab, self.index, self.counts, self.order, query, topk,
+            similarity, self.config,
+        )
+
+
+def build_spellchecker(
+    spark,
+    lm_output_dir: str,
+    order: int,
+    config: IndexConfig | None = None,
+    start: str = "<S>",
+    end: str = "</S>",
+) -> SpellChecker:
+    """The dep.BuildSpellChecker analogue
+    (/root/reference/internal/spellchecker/dep/container.go:13-51): assemble
+    a ready spellchecker from PERSISTED LM artifacts — the Google-format
+    ``k-gm`` count files an ``lm_count_job`` run produced.
+
+    The vocabulary is the 1-gm table minus the sentence wrap symbols,
+    sorted for deterministic doc ids (the reference's ids come from its CDB
+    build order; any fixed order works — scores never depend on ids, only
+    tie-breaks do, and ours are documented as sorted-vocab order).  The
+    default index description mirrors the reference CLI's
+    (cmd/spellchecker/cmd/eval.go:16-24: trigrams, wrap ^/$, pad $).
+    """
+    from ..sources.dictionary import from_list
+    from .indexing import build_ngram_index
+    from .lm import read_google_ngram_format
+
+    if config is None:
+        config = IndexConfig(
+            ngram_size=3,
+            wrap=("^", "$"),
+            pad="$",
+            alphabet=("english", "russian", "numbers", "$^'"),
+        )
+    counts = {
+        k: df.cache()
+        for k, df in read_google_ngram_format(spark, lm_output_dir, order).items()
+    }
+    words = sorted(
+        r["gram"]
+        for r in counts[1].select("gram").collect()
+        if r["gram"] not in (start, end)
+    )
+    vocab = from_list(spark, words).cache()
+    index_df = build_ngram_index(vocab, config=config).cache()
+    index_df.count()  # materialize, like builder.Build()
+    return SpellChecker(vocab, index_df, counts, order, config)

@@ -177,3 +177,28 @@ def test_analysis_filters(spark):
         "The cats were running; dogs ran",
         "And fish swim",
     ]
+
+
+def test_build_spellchecker_from_persisted_lm(spark, tmp_path):
+    """dep.BuildSpellChecker analogue: persist LM counts in Google format,
+    rebuild a ready spellchecker from the files alone, and reproduce the
+    in-memory predict goldens."""
+    from suggest_spark.operators.lm import write_google_ngram_format
+    from suggest_spark.operators.spellcheck import build_spellchecker
+
+    sents = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(CORPUS)], "sent_id long, text string"
+    )
+    out = str(tmp_path / "lm_out")
+    write_google_ngram_format(build_ngram_counts(sents, 3), out)
+
+    sc = build_spellchecker(
+        spark, out, 3, config=IndexConfig(ngram_size=2)
+    )
+    assert sc.predict("sam i a", topk=2, similarity=0.4)[0] == "am"
+    assert "green" in sc.predict("gre", topk=3, similarity=0.4)
+    assert sc.predict("", 3, 0.4) == []
+    # vocabulary derived from the 1-gm file, wrap symbols excluded
+    vocab_vals = {r["value"] for r in sc.vocab.collect()}
+    assert "<S>" not in vocab_vals and "</S>" not in vocab_vals
+    assert "sam" in vocab_vals
