@@ -241,7 +241,6 @@ def build_spellchecker(
     default index description mirrors the reference CLI's
     (cmd/spellchecker/cmd/eval.go:16-24: trigrams, wrap ^/$, pad $).
     """
-    from ..sources.dictionary import from_list
     from .indexing import build_ngram_index
     from .lm import read_google_ngram_format
 
@@ -256,12 +255,29 @@ def build_spellchecker(
         k: df.cache()
         for k, df in read_google_ngram_format(spark, lm_output_dir, order).items()
     }
-    words = sorted(
-        r["gram"]
-        for r in counts[1].select("gram").collect()
-        if r["gram"] not in (start, end)
-    )
-    vocab = from_list(spark, words).cache()
+    vocab = vocab_from_unigrams(counts[1], start, end).cache()
     index_df = build_ngram_index(vocab, config=config).cache()
     index_df.count()  # materialize, like builder.Build()
     return SpellChecker(vocab, index_df, counts, order, config)
+
+
+def vocab_from_unigrams(unigrams: DataFrame, start: str, end: str) -> DataFrame:
+    """``(doc_id, value)`` vocabulary from a 1-gm count table, ids =
+    sorted-word order — computed DISTRIBUTED (sortBy + zipWithIndex), never
+    by collecting the vocabulary to the driver: a web-scale corpus has a
+    10^8-word unigram table.  This is one of the rare justified RDD uses —
+    Catalyst has no deterministic ordered-id operator (row_number over a
+    global ORDER BY plans a single partition; monotonically_increasing_id
+    is partition-layout-dependent), while sortBy+zipWithIndex is both
+    distributed and deterministic for a fixed word set."""
+    spark = unigrams.sparkSession
+    words = unigrams.where(~F.col("gram").isin(start, end)).select(
+        F.col("gram").alias("value")
+    )
+    rdd = (
+        words.rdd.map(lambda r: r["value"])
+        .sortBy(lambda v: v)
+        .zipWithIndex()
+        .map(lambda t: (t[1], t[0]))
+    )
+    return spark.createDataFrame(rdd, "doc_id long, value string")

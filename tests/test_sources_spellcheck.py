@@ -202,3 +202,18 @@ def test_build_spellchecker_from_persisted_lm(spark, tmp_path):
     vocab_vals = {r["value"] for r in sc.vocab.collect()}
     assert "<S>" not in vocab_vals and "</S>" not in vocab_vals
     assert "sam" in vocab_vals
+
+
+def test_vocab_from_unigrams_matches_sorted_collect(spark):
+    """The distributed id assignment must equal the driver-side sorted
+    enumeration exactly (determinism of sortBy + zipWithIndex)."""
+    from suggest_spark.operators.spellcheck import vocab_from_unigrams
+
+    grams = ["zeta", "<S>", "alpha", "</S>", "mu", "beta", "alpha2"]
+    df = spark.createDataFrame([(g, 1) for g in grams], "gram string, cnt long")
+    got = sorted(
+        (r["doc_id"], r["value"])
+        for r in vocab_from_unigrams(df, "<S>", "</S>").collect()
+    )
+    want = list(enumerate(sorted(g for g in grams if g not in ("<S>", "</S>"))))
+    assert got == want
