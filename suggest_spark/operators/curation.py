@@ -68,7 +68,9 @@ def _annotated(docs: DataFrame, config: CurationConfig, id_col: str, text_col: s
         *[c.alias(n) for n, c in feats.items()],
         toks["re_tokens"].alias("re_tokens"),
         *[c.alias(n) for n, c in reps.items()],
-        F.md5(text).alias("content_key"),
+        # 16-byte binary digest, not the 32-char hex string: the dedup
+        # window's shuffle key is half the bytes; grouping is identical
+        F.unhex(F.md5(text)).alias("content_key"),
     )
     reason = (
         F.when(~F.col("lang").isin(*config.langs), F.lit("lang"))
