@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -154,6 +155,67 @@ def sample_frames(
             )
 
     return media.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def resize_one_image(blob: bytes, width: int, height: int) -> tuple[bytes, str]:
+    """Resize to a ``width×height`` grayscale byte grid.  PIL path: real
+    decode + ``Image.resize`` + L-convert.  Fallback: the blob's bytes laid
+    out on the pseudo-dimension grid from :func:`_byte_histogram_decode`
+    and nearest-neighbor sampled — deterministic, codec-free, same output
+    shape, and labeled by the ``decoder`` value."""
+    if _HAS_PIL:
+        try:
+            img = Image.open(io.BytesIO(blob))
+            img.load()
+            gray = np.asarray(
+                img.resize((width, height)).convert("L"), dtype=np.uint8
+            )
+            return gray.tobytes(), "pil"
+        except Exception:
+            pass
+    w0, h0, _ = _byte_histogram_decode(blob)
+    grid = np.zeros(w0 * h0, dtype=np.uint8)
+    src = np.frombuffer(blob, dtype=np.uint8)[: w0 * h0]
+    grid[: len(src)] = src
+    grid = grid.reshape(h0, w0)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    return grid[np.ix_(ys, xs)].tobytes(), "byte-grid"
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    blob_col: str = "media",
+) -> DataFrame:
+    """``(media_id, width, height, pixels binary, decoder)`` — every output
+    blob is exactly ``width*height`` grayscale bytes, whichever path ran."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(blob) if blob is not None else b""
+                px, decoder = resize_one_image(blob, width, height)
+                rows.append((int(mid), width, height, px, decoder))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels", "decoder"]
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
 try:

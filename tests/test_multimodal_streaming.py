@@ -185,3 +185,57 @@ def test_pil_branch_with_stubbed_codec(monkeypatch):
 
     _, _, _, decoder2 = mm.decode_one_image(b"\x89not-an-image")
     assert decoder2 == "byte-histogram"
+
+
+def test_resize_images_fallback_deterministic(spark):
+    """Fallback resize: byte-grid nearest-neighbor, exact numpy oracle,
+    fixed output size regardless of input bytes."""
+    import numpy as np
+
+    from suggest_spark.operators.multimodal import resize_images, resize_one_image
+
+    blobs = [(0, bytes(range(4, 254))), (1, b"\x07\x03abcdefgh"), (2, b"")]
+    df = spark.createDataFrame(blobs, "media_id long, media binary")
+    rows = {r["media_id"]: r for r in resize_images(df, 4, 3).collect()}
+    for mid, blob in blobs:
+        r = rows[mid]
+        assert (r["width"], r["height"], r["decoder"]) == (4, 3, "byte-grid")
+        assert len(bytes(r["pixels"])) == 12
+        # numpy oracle
+        want, dec = resize_one_image(blob, 4, 3)
+        assert bytes(r["pixels"]) == want and dec == "byte-grid"
+    # deterministic grid content for a known blob: w0=8, h0=4 from leading
+    # bytes of blob 1 -> sampled indices reproducible
+    w0, h0, _ = __import__(
+        "suggest_spark.operators.multimodal", fromlist=["x"]
+    )._byte_histogram_decode(blobs[1][1])
+    assert (w0, h0) == (8, 4)
+
+
+def test_resize_images_pil_branch_stubbed(monkeypatch):
+    import numpy as np
+
+    from suggest_spark.operators import multimodal as mm
+
+    class FakeResized:
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((3, 4), 7, dtype=np.uint8)
+
+    class FakeImg:
+        def load(self):
+            pass
+
+        def resize(self, wh):
+            assert wh == (4, 3)
+            return FakeResized()
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "Image", FakeImage)
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+    px, decoder = mm.resize_one_image(b"whatever", 4, 3)
+    assert decoder == "pil" and px == bytes([7] * 12)
