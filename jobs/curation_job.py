@@ -45,6 +45,7 @@ def run_curation(
     config: CurationConfig = CurationConfig(),
     near_dup: bool = False,
     shingle_k: int = 5,
+    redact: bool = False,
 ) -> dict:
     docs = spark.read.parquet(input_path).select("doc_id", "text")
 
@@ -77,6 +78,11 @@ def run_curation(
             curated = curated.join(losers, "doc_id", "left_anti")
         pairs.unpersist()
 
+    if redact:
+        from suggest_spark.functions.text import redact_pii
+
+        curated = curated.withColumn("text", redact_pii(F.col("text")))
+
     curated_path = os.path.join(output_path, "curated")
     curated.write.mode("overwrite").parquet(curated_path)
     funnel["near_duplicate"] = n_near_dup
@@ -97,6 +103,8 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet dir/file with (doc_id, text)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="replace URLs/emails/phone-like runs with typed tokens in the output text")
     ap.add_argument("--langs", default="en")
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--max-words", type=int, default=100_000)
@@ -122,7 +130,10 @@ def main() -> None:
     )
     spark = get_spark(app_name="corpus_curation", master=args.master)
     t0 = time.time()
-    res = run_curation(spark, args.input, args.output, config, near_dup=args.near_dup)
+    res = run_curation(
+        spark, args.input, args.output, config,
+        near_dup=args.near_dup, redact=args.redact_pii,
+    )
     res["t_sec"] = round(time.time() - t0, 2)
     print(json.dumps(res))
 

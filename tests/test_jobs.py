@@ -87,3 +87,24 @@ def test_curation_job_end_to_end(spark, tmp_path):
 
     with open(f"{out}/funnel.json") as f:
         assert _json.load(f) == funnel
+
+
+def test_curation_job_redaction(spark, tmp_path):
+    """--redact-pii: the curated output text carries typed tokens instead
+    of the injected PII."""
+    from jobs.curation_job import run_curation
+    from suggest_spark.operators.curation import CurationConfig
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "the quick brown fox contact bob@example.com jumps over the lazy dog today")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    res = run_curation(
+        spark, src, str(tmp_path / "out"),
+        CurationConfig(langs=("en",), min_words=5, min_stopword_ratio=0.01),
+        redact=True,
+    )
+    rows = spark.read.parquet(res["curated"]).collect()
+    assert len(rows) == 1
+    assert "<EMAIL>" in rows[0]["text"] and "bob@example.com" not in rows[0]["text"]
