@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 
 from suggest_spark.linkage.clustering import connected_components
 from suggest_spark.operators.curation import (
+    CURATED_COLUMNS,
     CurationConfig,
-    curate_documents,
-    curation_funnel,
+    annotated_documents,
 )
 from suggest_spark.operators.dedup import minhash_lsh_pairs, shingle_words
 from suggest_spark.plans.session import get_spark
@@ -49,11 +49,18 @@ def run_curation(
 ) -> dict:
     docs = spark.read.parquet(input_path).select("doc_id", "text")
 
+    # ONE annotation pass (feature projection + digest shuffle) feeds the
+    # funnel, the kept rows, AND the text column — not three scans
+    ann = annotated_documents(docs, config).persist()
     funnel = {
-        r["reason"]: r["n_docs"] for r in curation_funnel(docs, config).collect()
+        r["reason"]: int(r["n"])
+        for r in ann.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    curated = curate_documents(docs, config).join(docs, "doc_id").persist()
+    curated = ann.where(F.col("reason") == "kept").select(
+        *CURATED_COLUMNS, "text"
+    ).persist()
     n_curated = curated.count()
+    ann.unpersist()
 
     n_near_dup = 0
     if near_dup:
@@ -85,7 +92,11 @@ def run_curation(
 
     curated_path = os.path.join(output_path, "curated")
     curated.write.mode("overwrite").parquet(curated_path)
+    # the near-dup stage removes docs that were counted 'kept' by the batch
+    # funnel — move them so the funnel still sums to the input and 'kept'
+    # equals the written row count
     funnel["near_duplicate"] = n_near_dup
+    funnel["kept"] = funnel.get("kept", 0) - n_near_dup
 
     os.makedirs(output_path, exist_ok=True)
     with open(os.path.join(output_path, "funnel.json"), "w") as f:

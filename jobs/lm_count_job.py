@@ -28,10 +28,18 @@ from suggest_spark.plans.session import get_spark
 
 
 def lm_config_from_json(conf: dict) -> LMConfig:
+    """lm.Config JSON → LMConfig.  ``separators`` is an ALPHABET DECLARATION
+    in the reference, not a literal rune list — pkg/lm/config.go:31-33 runs
+    it through the same alphabet.CreateAlphabet as ``alphabet``, so
+    ``["numbers"]`` means the digit runes, not {n,u,m,b,e,r,s}."""
+    from suggest_spark.config import allowed_char_set
+
     return LMConfig(
         order=int(conf.get("nGramOrder", 3)),
         alphabet=tuple(conf.get("alphabet", ["english", "russian", "numbers", "-."])),
-        separators="".join(conf.get("separators", ["\n"])),
+        separators="".join(
+            sorted(allowed_char_set(tuple(conf.get("separators", ["\n"]))))
+        ),
         start=conf.get("startSymbol", "<S>"),
         end=conf.get("endSymbol", "</S>"),
     )

@@ -14,14 +14,24 @@ from pyspark.sql import functions as F
 
 
 def _salt_col(df: DataFrame, salt_on: list[str] | None, n_salts: int) -> Column:
-    """Deterministic salt in [0, n_salts): hash of the ``salt_on`` columns —
-    STABLE under task retry/speculation (a retried task re-derives the same
-    salt for the same row, so results are bit-reproducible).  With
-    ``salt_on=None`` every non-key column participates; join results are
-    correct for ANY salt value, but stability keeps the determinism story
-    airtight (north-rule requirement)."""
+    """Deterministic salt in [0, n_salts): hash of the ``salt_on`` columns
+    MIXED WITH the input partition id — STABLE under task retry/speculation
+    (a retried task re-reads the same input split, so the same row
+    re-derives the same salt and results stay bit-reproducible for a fixed
+    input layout).
+
+    The partition id is load-bearing, not decoration: a hot key whose rows
+    are BYTE-IDENTICAL (e.g. an exploded gram column alone) would hash to
+    one salt from content only, collapsing the two-phase aggregation back
+    into the very skew it exists to break.  Identical rows in the SAME
+    partition sharing a salt is harmless — the map-side partial aggregate
+    combines them before any shuffle; what must spread across reducers is
+    the cross-partition mass, and partition ids do exactly that."""
     cols = salt_on if salt_on is not None else df.columns
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.spark_partition_id()),
+        F.lit(n_salts),
+    )
 
 
 def salted_count(

@@ -99,6 +99,28 @@ def _annotated(docs: DataFrame, config: CurationConfig, id_col: str, text_col: s
     )
 
 
+#: audit columns carried by curate_documents output (order preserved)
+CURATED_COLUMNS = (
+    "doc_id", "lang", "n_chars", "n_words", "mean_word_len", "alpha_ratio",
+    "digit_ratio", "stopword_ratio", "re_tokens",
+    "dup_line_ratio", "dup_word_ratio", "dup_bigram_ratio",
+)
+
+
+def annotated_documents(
+    docs: DataFrame,
+    config: CurationConfig = DEFAULT_CURATION,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every input doc with its features, ``text``, and final ``reason`` —
+    the shared frame behind :func:`curate_documents` and
+    :func:`curation_funnel`.  Callers needing BOTH the curated rows and the
+    funnel (e.g. jobs/curation_job.py) should persist this once instead of
+    paying the feature projection and digest shuffle twice."""
+    return _annotated(docs, config, id_col, text_col)
+
+
 def curate_documents(
     docs: DataFrame,
     config: CurationConfig = DEFAULT_CURATION,
@@ -111,20 +133,7 @@ def curate_documents(
     dup_word_ratio, dup_bigram_ratio)``.  First arrival (lowest doc_id)
     wins among byte-identical texts."""
     ann = _annotated(docs, config, id_col, text_col)
-    return ann.where(F.col("reason") == "kept").select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        "n_words",
-        "mean_word_len",
-        "alpha_ratio",
-        "digit_ratio",
-        "stopword_ratio",
-        "re_tokens",
-        "dup_line_ratio",
-        "dup_word_ratio",
-        "dup_bigram_ratio",
-    )
+    return ann.where(F.col("reason") == "kept").select(*CURATED_COLUMNS)
 
 
 def curation_funnel(

@@ -97,10 +97,17 @@ def jaccard_near_dup_pairs(
     rarity-ordered prefix shingles — the ``L−T+1`` rarest — become join
     keys, so boilerplate shingles never form blocks), then exact Jaccard
     verifies on sorted int-id arrays.  Identical output to the direct form
-    (asserted by tests).  ``delta_max=0`` is correct for
-    :func:`shingle_words` output (array_distinct ⇒ no duplicate shingles);
-    pass ``None`` to have the blocking stage measure it.
+    (asserted by tests).
+
+    The semantics are SET-Jaccard, so duplicate shingles in the input
+    column are dropped here with ``array_distinct`` (a no-op for
+    :func:`shingle_words` output, which is already distinct).  That makes
+    ``delta_max=0`` unconditionally sound for the prefix filter — without
+    it, a caller passing un-deduped shingles would silently lose >=
+    threshold pairs (multiset prefix bound violated) AND get inflated
+    overlap counts on the direct path.
     """
+    docs = docs.withColumn(shingles_col, F.array_distinct(F.col(shingles_col)))
     if prefix_blocked:
         from ..functions.metrics import JACCARD
         from ..linkage.blocking import candidate_pairs, encode_records
@@ -268,8 +275,13 @@ def minhash_lsh_pairs(
     """
     bands = minhash_bands(docs, n_hashes, band_size, id_col, shingles_col)
     if max_bucket_size is not None:
-        dropped = oversized_minhash_buckets(
-            docs, max_bucket_size, n_hashes, band_size, id_col, shingles_col
+        # derive the cap from THIS bands frame — recomputing the signatures
+        # via oversized_minhash_buckets(docs, ...) would run the most
+        # expensive stage (shingle md5 + min-hash lanes) twice
+        dropped = (
+            bands.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") > max_bucket_size)
         )
         bands = bands.join(F.broadcast(dropped.select("bucket")), "bucket", "left_anti")
     a = bands.select("bucket", F.col("id").alias("id_a"))

@@ -7,10 +7,19 @@ SIGHUP/POST, internal/suggest/api/app.go:47-68).
 Spark mapping: an index "build" is a DataFrame plan over the dictionary
 table (optionally materialized to a ``partitionBy("size")`` parquet
 warehouse path — the DISC driver; cached in memory — the RAM driver); a
-reindex is a REBUILD + ATOMIC SWAP of the registry entry.  Queries running
-against the old DataFrame keep their snapshot (immutable lineage — Spark
-gives the reader-isolation the reference needs the RWMutex for); the Python
+reindex is a REBUILD + ATOMIC SWAP of the registry entry.  The Python
 ``threading.Lock`` only guards the registry dict itself.
+
+Reader isolation is PER DRIVER: RAM entries are cached immutable lineage,
+so concurrent queries against a swapped-out entry keep their snapshot (the
+reader-isolation the reference needs the RWMutex for).  DISC entries point
+at parquet FILES — ``add_disc_index(rebuild=True)`` on a live name and
+``upsert_disc_index`` rewrite those files in place, so a query running
+against the OLD entry during the rewrite can fail or read mixed
+partitions.  On plain parquet, quiesce queries around a DISC rewrite or
+write to a fresh path and swap; a transactional table format
+(Iceberg/Delta — sources/tables.py) restores true snapshot isolation
+without either.
 """
 
 from __future__ import annotations
@@ -86,7 +95,12 @@ class SuggestService:
         partitions rewritten) and atomically swap the refreshed entry —
         the trickle-update form of the reference's full rebuild+swap
         (service.go:78-91).  ``new_docs`` is ``(doc_id, value)``; a doc_id
-        already present is replaced."""
+        already present is replaced.
+
+        The rewrite is IN PLACE on the entry's parquet path: queries
+        concurrently reading the old entry may fail mid-rewrite (see the
+        module docstring's reader-isolation note) — quiesce them, or use a
+        transactional table format for snapshot isolation."""
         from .indexing import upsert_ngram_index
 
         e = self._get(name)

@@ -35,8 +35,6 @@ plan (see tables.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -66,9 +64,19 @@ def dedup_exact_stream(
 
 
 def _read_registry(spark: SparkSession, path: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    """Read the bucket registry, empty-frame on a not-yet-created path.
+
+    Existence is probed through the Hadoop FileSystem API, NOT the local os
+    module: the registry lives wherever the stream's filesystem is
+    (hdfs://, s3a://, ...), and an os.path probe would silently report
+    'empty' there — disabling cross-batch dedup and making
+    compact_registry destroy the real registry.  (No broad try/except
+    around the read either: a transient read error must FAIL the batch,
+    not masquerade as an empty registry.)"""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         return spark.read.schema(REGISTRY_SCHEMA).parquet(path)
     return spark.createDataFrame([], REGISTRY_SCHEMA)
 
@@ -137,11 +145,19 @@ def near_dup_ingest(
         batch_owner = F.min(
             F.when(F.col("_reg_owner").isNull(), F.col("id"))
         ).over(Window.partitionBy("bucket"))
-        resolved = hit.withColumn("_batch_owner", batch_owner).withColumn(
-            "_owner", F.coalesce("_reg_owner", "_batch_owner")
+        resolved = hit.withColumn("_batch_owner", batch_owner)
+        # a registered owner flags REGARDLESS of id order (stream ids are
+        # not monotone — a later batch may carry a smaller id; only a doc
+        # re-arriving under its own id stays admitted, which keeps replays
+        # idempotent); an intra-batch owner flags only when strictly
+        # smaller, so the batch's first arrival is the one admitted
+        owner = F.coalesce(
+            F.when(F.col("_reg_owner") != F.col("id"), F.col("_reg_owner")),
+            F.when(F.col("_batch_owner") < F.col("id"), F.col("_batch_owner")),
         )
         dup_of = (
-            resolved.where(F.col("_owner") < F.col("id"))
+            resolved.withColumn("_owner", owner)
+            .where(F.col("_owner").isNotNull())
             .groupBy("id")
             .agg(F.min("_owner").alias("dup_of"))
             .withColumnRenamed("id", id_col)

@@ -123,3 +123,31 @@ def test_default_linkage_path_runs_no_hidden_jobs(spark, near_copy_docs):
     )
     # sanity: the constructed plan still executes and matches exist
     assert matches.count() > 0
+
+
+def test_jaccard_set_semantics_with_duplicate_shingles(spark):
+    """Callers may pass un-deduped shingle arrays; set-Jaccard semantics
+    require dropping duplicates, and both paths must agree with the oracle
+    computed on the distinct sets (regression: delta_max=0 with raw
+    multisets silently lost pairs on the prefix path)."""
+    import pyspark.sql.functions as F
+
+    from suggest_spark.operators import dedup
+
+    rows = [
+        (1, ["a", "a", "a", "b", "c", "d"]),   # distinct: {a,b,c,d}
+        (2, ["a", "b", "c", "d", "d", "d"]),   # distinct: {a,b,c,d} -> j=1.0
+        (3, ["a", "b", "x", "y", "y"]),        # distinct: {a,b,x,y}
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    want = {(1, 2): 1.0, (1, 3): 2 / 6, (2, 3): 2 / 6}
+    for blocked in (False, True):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_near_dup_pairs(
+                docs, 0.3, prefix_blocked=blocked
+            ).collect()
+        }
+        assert got.keys() == {k for k, v in want.items() if v >= 0.3}
+        for k, v in got.items():
+            assert abs(v - want[k]) < 1e-12, (blocked, k)

@@ -79,9 +79,11 @@ def test_curation_job_end_to_end(spark, tmp_path):
     )
     n_input = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     funnel = res["funnel"]
-    assert sum(v for k, v in funnel.items() if k != "near_duplicate") == n_input
+    # the funnel accounts for EVERY input doc, near-dups included, and
+    # 'kept' equals the written output row count
+    assert sum(funnel.values()) == n_input
     curated = spark.read.parquet(res["curated"])
-    assert curated.count() == res["n_curated"] > 0
+    assert curated.count() == res["n_curated"] == funnel["kept"] > 0
     assert {"doc_id", "text", "lang", "n_words"} <= set(curated.columns)
     import json as _json
 
@@ -108,3 +110,17 @@ def test_curation_job_redaction(spark, tmp_path):
     rows = spark.read.parquet(res["curated"]).collect()
     assert len(rows) == 1
     assert "<EMAIL>" in rows[0]["text"] and "bob@example.com" not in rows[0]["text"]
+
+
+def test_lm_config_separators_are_alphabet_declarations():
+    """pkg/lm/config.go:31-33 resolves `separators` through the same
+    alphabet resolver as `alphabet`: named groups expand to their runes."""
+    from jobs.lm_count_job import lm_config_from_json
+
+    cfg = lm_config_from_json(
+        {"nGramOrder": 2, "separators": ["numbers", ".!"], "alphabet": ["english"]}
+    )
+    assert set(cfg.separators) == set("0123456789.!")
+    # a literal newline entry still means the newline rune
+    cfg2 = lm_config_from_json({"separators": ["\n"]})
+    assert cfg2.separators == "\n"

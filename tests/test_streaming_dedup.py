@@ -185,3 +185,33 @@ def test_ingest_replay_is_idempotent(spark, tmp_path):
     # registry may hold duplicate rows, but distinct content is unchanged
     reg = spark.read.parquet(registry)
     assert {r["doc_id"] for r in reg.select("doc_id").distinct().collect()} == {1, 2}
+
+
+def test_cross_batch_dup_with_smaller_incoming_id(spark, tmp_path):
+    """Stream ids are not monotone: a later batch's near-dup with a SMALLER
+    doc_id than the registered owner must still be flagged (regression for
+    the `_owner < id` guard that silently admitted it)."""
+    ddir1 = tmp_path / "d1"
+    ddir1.mkdir()
+    registry = str(tmp_path / "registry")
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = r["dup_of"]
+
+    _write_jsonl(ddir1 / "b.json", [{"doc_id": 100, "text": DOC_A}])
+    s1 = spark.readStream.schema("doc_id long, text string").json(str(ddir1))
+    near_dup_ingest(s1, registry, sink).awaitTermination(180)
+    assert results == {100: None}
+
+    results.clear()
+    ddir2 = tmp_path / "d2"
+    ddir2.mkdir()
+    _write_jsonl(ddir2 / "b.json", [{"doc_id": 42, "text": DOC_A}])
+    s2 = spark.readStream.schema("doc_id long, text string").json(str(ddir2))
+    near_dup_ingest(s2, registry, sink).awaitTermination(180)
+    # flagged as dup of the ADMITTED owner even though 42 < 100
+    assert results == {42: 100}
+    reg = spark.read.parquet(registry)
+    assert {r["doc_id"] for r in reg.select("doc_id").distinct().collect()} == {100}
