@@ -84,6 +84,26 @@ class SuggestService:
         index = read_ngram_index(self.spark, path)
         self._swap(name, _Entry(dictionary, index, config, path))
 
+    def load_disc_index(
+        self,
+        name: str,
+        warehouse_dir: str,
+        config: IndexConfig = DEFAULT_CONFIG,
+    ) -> None:
+        """Boot a DISC entry from an ``indexer_job`` run's artifacts —
+        ``<warehouse>/<name>_dictionary`` + ``<warehouse>/<name>_index``
+        (jobs/indexer_job.py layout; the reference's service startup reads
+        the indexer's output the same way, service.go:20-45).  No rebuild:
+        the on-disk index is served as-is."""
+        import os
+
+        from ..sources.dictionary import read_dictionary
+
+        dictionary = read_dictionary(self.spark, os.path.join(warehouse_dir, f"{name}_dictionary"))
+        path = os.path.join(warehouse_dir, f"{name}_index")
+        index = read_ngram_index(self.spark, path)
+        self._swap(name, _Entry(dictionary, index, config, path))
+
     def upsert_disc_index(
         self,
         name: str,

@@ -124,3 +124,26 @@ def test_lm_config_separators_are_alphabet_declarations():
     # a literal newline entry still means the newline rune
     cfg2 = lm_config_from_json({"separators": ["\n"]})
     assert cfg2.separators == "\n"
+
+
+def test_service_boots_from_indexer_job_output(spark, tmp_path):
+    """Full loop: reference-format indexer config -> indexer_job artifacts ->
+    SuggestService.load_disc_index -> query, with the index config carried
+    from the same IndexDescription."""
+    from jobs.indexer_job import index_config_from_description, run_index_job
+    from suggest_spark.functions.metrics import JACCARD
+    from suggest_spark.operators.service import SuggestService
+
+    with open(tmp_path / "cars.dict", "w") as f:
+        f.write("Nissan March\nNissan Juke\nNissan Maxima\nToyota Corolla\n")
+    desc = {
+        "driver": "DISC", "name": "cars", "nGramSize": 3,
+        "alphabet": ["english", "$"], "source": "cars.dict",
+        "output": "db", "pad": "$", "wrap": ["$", "$"],
+    }
+    run_index_job(spark, desc, str(tmp_path))
+
+    svc = SuggestService(spark)
+    svc.load_disc_index("cars", str(tmp_path / "db"), index_config_from_description(desc))
+    got = svc.suggest("cars", "Nissan ma", JACCARD, 0.5, 2)
+    assert [v for _, v in got] == ["Nissan Maxima", "Nissan March"]
