@@ -16,9 +16,6 @@ counts downstream reproduce ScanCount semantics exactly
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,8 +138,13 @@ def upsert_ngram_index(
     # dynamic overwrite replaces only partitions PRESENT in the output — an
     # affected partition whose rows were all dropped must be deleted
     # explicitly or its stale files would survive (Iceberg's MERGE subsumes
-    # this step on a transactional table)
+    # this step on a transactional table).  The delete goes through the
+    # Hadoop FS API and fails loudly: the index path can live on hdfs://
+    # or s3a://, where a local-filesystem delete would silently no-op and
+    # deleted docs would keep being served from the stale partition.
+    from ..sources import fsutil
+
     surviving = {r["size"] for r in merged.select("size").distinct().collect()}
     for s in set(sizes) - surviving:
-        shutil.rmtree(os.path.join(path, f"size={s}"), ignore_errors=True)
+        fsutil.delete(spark, f"{path}/size={s}")
     return {"sizes_touched": sizes, "rows_written": merged.count()}

@@ -10,16 +10,21 @@ warehouse path — the DISC driver; cached in memory — the RAM driver); a
 reindex is a REBUILD + ATOMIC SWAP of the registry entry.  The Python
 ``threading.Lock`` only guards the registry dict itself.
 
-Reader isolation is PER DRIVER: RAM entries are cached immutable lineage,
-so concurrent queries against a swapped-out entry keep their snapshot (the
-reader-isolation the reference needs the RWMutex for).  DISC entries point
-at parquet FILES — ``add_disc_index(rebuild=True)`` on a live name and
-``upsert_disc_index`` rewrite those files in place, so a query running
-against the OLD entry during the rewrite can fail or read mixed
-partitions.  On plain parquet, quiesce queries around a DISC rewrite or
-write to a fresh path and swap; a transactional table format
-(Iceberg/Delta — sources/tables.py) restores true snapshot isolation
-without either.
+Reader isolation: RAM entries are cached immutable lineage, so concurrent
+queries against a swapped-out entry keep their snapshot (the
+reader-isolation the reference needs the RWMutex for).  DISC entries are
+SNAPSHOT-ISOLATED too since round 3: ``add_disc_index``/``upsert_disc_index``
+write a fresh immutable ``v=N`` directory and atomically commit a manifest
+(operators/versioned.py — the reference's build-then-swap, service.go:78-91,
+at the filesystem level), then GC versions older than the previous snapshot
+(grace period for in-flight queries).  Nothing a live query has resolved is
+ever modified; a transactional table format (Iceberg/Delta —
+sources/tables.py) would provide the same guarantee catalog-side.
+
+Pre-round-3 FLAT layouts (bare ``size=*`` dirs, e.g. indexer_job output)
+are still readable via ``load_disc_index``/``rebuild=False``; upserting a
+flat entry falls back to the legacy in-place rewrite, which is NOT
+reader-isolated — rebuild once with ``add_disc_index`` to upgrade.
 """
 
 from __future__ import annotations
@@ -41,7 +46,8 @@ class _Entry:
     dictionary: DataFrame
     index: DataFrame
     config: IndexConfig
-    path: str | None = None  # DISC entries: the size-partitioned warehouse dir
+    path: str | None = None  # DISC entries: the versioned warehouse dir
+    owns_dict: bool = False  # the SERVICE cached this dictionary (upsert path)
 
 
 class SuggestService:
@@ -79,10 +85,27 @@ class SuggestService:
         config: IndexConfig = DEFAULT_CONFIG,
         rebuild: bool = True,
     ) -> None:
+        """Build (or open) a DISC entry at ``path``.  ``rebuild=True`` writes
+        a fresh immutable version and atomically swaps the snapshot — safe
+        under concurrent queries (versioned.py); old versions beyond the
+        grace window are GC'd after the swap."""
+        from .versioned import (
+            gc_versions,
+            is_versioned,
+            read_versioned_index,
+            write_versioned_index,
+        )
+
         if rebuild:
-            write_ngram_index(build_ngram_index(dictionary, config=config), path)
-        index = read_ngram_index(self.spark, path)
+            write_versioned_index(build_ngram_index(dictionary, config=config), path)
+            index = read_versioned_index(self.spark, path)
+        elif is_versioned(self.spark, path):
+            index = read_versioned_index(self.spark, path)
+        else:  # pre-versioned flat layout (bare size=* dirs)
+            index = read_ngram_index(self.spark, path)
         self._swap(name, _Entry(dictionary, index, config, path))
+        if rebuild:
+            gc_versions(self.spark, path)
 
     def load_disc_index(
         self,
@@ -98,10 +121,14 @@ class SuggestService:
         import os
 
         from ..sources.dictionary import read_dictionary
+        from .versioned import is_versioned, read_versioned_index
 
         dictionary = read_dictionary(self.spark, os.path.join(warehouse_dir, f"{name}_dictionary"))
         path = os.path.join(warehouse_dir, f"{name}_index")
-        index = read_ngram_index(self.spark, path)
+        if is_versioned(self.spark, path):
+            index = read_versioned_index(self.spark, path)
+        else:
+            index = read_ngram_index(self.spark, path)
         self._swap(name, _Entry(dictionary, index, config, path))
 
     def upsert_disc_index(
@@ -111,24 +138,33 @@ class SuggestService:
         deleted_ids: DataFrame | None = None,
     ) -> dict:
         """Incremental hot reindex of a DISC entry: merge/delete documents
-        through :func:`upsert_ngram_index` (only affected ``size=``
-        partitions rewritten) and atomically swap the refreshed entry —
-        the trickle-update form of the reference's full rebuild+swap
-        (service.go:78-91).  ``new_docs`` is ``(doc_id, value)``; a doc_id
-        already present is replaced.
-
-        The rewrite is IN PLACE on the entry's parquet path: queries
-        concurrently reading the old entry may fail mid-rewrite (see the
-        module docstring's reader-isolation note) — quiesce them, or use a
-        transactional table format for snapshot isolation."""
+        through :func:`upsert_versioned_index` (only affected ``size=``
+        partitions written, into a fresh immutable version; atomic manifest
+        swap; grace-period GC) — the trickle-update form of the reference's
+        full rebuild+swap (service.go:78-91), safe under concurrent queries.
+        ``new_docs`` is ``(doc_id, value)``; a doc_id already present is
+        replaced.  Flat pre-versioned entries fall back to the legacy
+        in-place :func:`upsert_ngram_index` (NOT reader-isolated)."""
         from .indexing import upsert_ngram_index
+        from .versioned import (
+            gc_versions,
+            is_versioned,
+            read_versioned_index,
+            upsert_versioned_index,
+        )
 
         e = self._get(name)
         if e.path is None:
             raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
-        stats = upsert_ngram_index(
-            self.spark, e.path, new_docs, e.config, deleted_ids
-        )
+        versioned = is_versioned(self.spark, e.path)
+        if versioned:
+            stats = upsert_versioned_index(
+                self.spark, e.path, new_docs, e.config, deleted_ids
+            )
+        else:
+            stats = upsert_ngram_index(
+                self.spark, e.path, new_docs, e.config, deleted_ids
+            )
         drop = new_docs.select("doc_id")
         if deleted_ids is not None:
             drop = drop.unionByName(
@@ -140,16 +176,30 @@ class SuggestService:
             .cache()
         )
         dictionary.count()
-        index = read_ngram_index(self.spark, e.path)
-        self._swap(name, _Entry(dictionary, index, e.config, e.path))
+        if versioned:
+            index = read_versioned_index(self.spark, e.path)
+        else:
+            index = read_ngram_index(self.spark, e.path)
+        self._swap(name, _Entry(dictionary, index, e.config, e.path, owns_dict=True))
+        if versioned:
+            gc_versions(self.spark, e.path)
         return stats
 
     def _swap(self, name: str, entry: _Entry) -> None:
         with self._lock:
             old = self._entries.get(name)
             self._entries[name] = entry
-        if old is not None and old.index.is_cached:
-            old.index.unpersist()
+        # non-blocking unpersist of the old entry's cached pieces — without
+        # the dictionary leg, repeated hot upserts (which cache a fresh
+        # dictionary per swap) leak executor storage.  Dictionaries the
+        # CALLER cached (RAM/DISC add paths) are left alone (owns_dict).
+        # blocking=False: an in-flight query still holding the old plan
+        # recomputes from the immutable lineage instead of failing.
+        if old is not None:
+            if old.index.is_cached:
+                old.index.unpersist(blocking=False)
+            if old.owns_dict and old.dictionary.is_cached:
+                old.dictionary.unpersist(blocking=False)
 
     def _get(self, name: str) -> _Entry:
         with self._lock:

@@ -1,0 +1,221 @@
+"""Snapshot-isolated, versioned on-disk n-gram index.
+
+The reference hot-reindexes by building a fresh in-memory/mmap index and
+swapping the registry pointer under a lock (/root/reference/pkg/suggest/
+service.go:78-91) — readers of the old index keep a consistent snapshot.
+The plain-parquet DISC driver of rounds 1-2 lost that property: rebuild and
+upsert rewrote the live ``size=`` partitions in place, so a concurrent query
+could fail mid-rewrite or read mixed partitions (the one documented
+correctness hazard of round 2).
+
+This module restores the reference's swap semantics on any Hadoop
+filesystem, without requiring an Iceberg jar, with a miniature
+manifest-log layout — the same idea Iceberg/Delta use, specialized to one
+table shape:
+
+    <base>/_manifests/v00000001.json   # {"version":1, "partitions":{"7":1}}
+    <base>/v=1/size=7/*.parquet        # data files, IMMUTABLE once written
+    <base>/v=2/size=7/*.parquet        # upsert wrote only the touched size
+
+* A **manifest** maps each ``size`` partition to the version directory that
+  owns it.  The CURRENT snapshot is the highest-numbered manifest file —
+  committed with an atomic exclusive create (fsutil.create_text_exclusive),
+  so a swap is one filesystem metadata operation and concurrent committers
+  of the same version cannot corrupt the log (one wins, one raises).
+* **Readers never race writers**: a snapshot resolves to an explicit list
+  of immutable directories at swap time; a rebuild/upsert writes a brand-new
+  ``v=N`` directory and commits a new manifest — nothing a live query has
+  resolved is ever modified.
+* **Upsert stays incremental**: only the touched ``size`` partitions are
+  written into ``v=N``; untouched partitions keep their old owner version in
+  the new manifest (copy-on-write at partition granularity, no data copied).
+  A partition whose rows were all deleted simply has no entry in the new
+  manifest — no rmtree of live directories (the round-2 in-place hazard and
+  its local-FS-only delete are both gone).
+* **GC after a grace period**: ``gc_versions`` keeps every version
+  referenced by the latest ``keep_manifests`` manifests (default 2 =
+  current + previous), so queries resolved against the previous snapshot
+  finish safely; anything older is deleted through the Hadoop FS API.
+
+At 100 TB the manifest is a dict of a few hundred entries (one per size
+segment) — driver-side JSON is the right tool; the data plane stays
+partition-pruned parquet scans exactly as before.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, IndexConfig
+from ..sources import fsutil
+from .indexing import build_ngram_index
+
+INDEX_SCHEMA = "doc_id long, size int, term string"
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(base: str, version: int) -> str:
+    return f"{base}/{_MANIFEST_DIR}/v{version:08d}.json"
+
+
+def _data_dir(base: str, version: int) -> str:
+    return f"{base}/v={version}"
+
+
+def is_versioned(spark: SparkSession, base: str) -> bool:
+    return fsutil.exists(spark, f"{base}/{_MANIFEST_DIR}")
+
+
+def list_manifest_versions(spark: SparkSession, base: str) -> list[int]:
+    names = fsutil.list_names(spark, f"{base}/{_MANIFEST_DIR}")
+    return sorted(int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json"))
+
+
+def read_manifest(spark: SparkSession, base: str, version: int | None = None) -> dict:
+    """The manifest dict for ``version`` (default: current = highest)."""
+    if version is None:
+        versions = list_manifest_versions(spark, base)
+        if not versions:
+            raise FileNotFoundError(f"no manifests under {base}/{_MANIFEST_DIR}")
+        version = versions[-1]
+    return json.loads(fsutil.read_text(spark, _manifest_path(base, version)))
+
+
+def _commit(spark: SparkSession, base: str, manifest: dict) -> None:
+    """Atomically publish ``manifest`` as the new current snapshot."""
+    fsutil.create_text_exclusive(
+        spark, _manifest_path(base, manifest["version"]), json.dumps(manifest, sort_keys=True)
+    )
+
+
+def _sizes_written(spark: SparkSession, data_dir: str) -> list[int]:
+    """Partition values present in a just-written version dir — from the
+    directory listing, no Spark job."""
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fsutil.list_names(spark, data_dir)
+        if n.startswith("size=")
+    )
+
+
+def write_versioned_index(index_df: DataFrame, base: str) -> dict:
+    """Full (re)build: write every partition under a fresh ``v=N`` and commit
+    a manifest owning all of them — the snapshot-isolated form of
+    ``indexing.write_ngram_index`` (reference full-rebuild + swap,
+    service.go:78-91).  Returns the committed manifest."""
+    spark = index_df.sparkSession
+    versions = list_manifest_versions(spark, base)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = _data_dir(base, version)
+    index_df.select("doc_id", "size", "term").write.mode("errorifexists").partitionBy(
+        "size"
+    ).parquet(data_dir)
+    manifest = {
+        "version": version,
+        "partitions": {str(s): version for s in _sizes_written(spark, data_dir)},
+    }
+    _commit(spark, base, manifest)
+    return manifest
+
+
+def read_versioned_index(
+    spark: SparkSession, base: str, manifest: dict | None = None
+) -> DataFrame:
+    """The index DataFrame for a snapshot (default: current).  The plan reads
+    an explicit list of immutable partition directories; ``size`` pruning on
+    a ``size BETWEEN`` predicate still applies (partition values are parsed
+    from the directory names via ``basePath``)."""
+    if manifest is None:
+        manifest = read_manifest(spark, base)
+    parts = manifest["partitions"]
+    if not parts:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    dirs = [f"{_data_dir(base, v)}/size={s}" for s, v in sorted(parts.items())]
+    return (
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .select("doc_id", "size", "term")
+    )
+
+
+def upsert_versioned_index(
+    spark: SparkSession,
+    base: str,
+    new_docs: DataFrame,
+    config: IndexConfig = DEFAULT_CONFIG,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "value",
+) -> dict:
+    """Incremental copy-on-write upsert (the snapshot-isolated form of
+    ``indexing.upsert_ngram_index`` — same merge semantics, same partition
+    pruning, but no in-place rewrite and no checkpoint pin: source and
+    target are different immutable directories).
+
+    Returns ``{"version", "sizes_touched", "rows_written"}``.
+    """
+    current = read_manifest(spark, base)
+    version = current["version"] + 1
+
+    new_rows = build_ngram_index(new_docs, id_col, text_col, config)
+    sizes = {r["size"] for r in new_rows.select("size").distinct().collect()}
+
+    drop_ids = new_docs.select(F.col(id_col).alias("doc_id"))
+    if deleted_ids is not None:
+        deleted = deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
+        drop_ids = drop_ids.unionByName(deleted)
+    drop_ids = drop_ids.distinct()
+    # sizes currently holding any replaced/deleted id — a re-added doc whose
+    # text changed size would otherwise leave stale rows in its old
+    # partition (column-pruned scan of the current snapshot)
+    snapshot = read_versioned_index(spark, base, current)
+    sizes |= {
+        r["size"]
+        for r in snapshot.join(drop_ids, "doc_id").select("size").distinct().collect()
+    }
+    sizes = sorted(sizes)
+    if not sizes:
+        return {"version": current["version"], "sizes_touched": [], "rows_written": 0}
+
+    kept = snapshot.where(F.col("size").isin(sizes)).join(drop_ids, "doc_id", "left_anti")
+    merged = kept.select("doc_id", "size", "term").unionByName(
+        new_rows.select("doc_id", "size", "term")
+    )
+    data_dir = _data_dir(base, version)
+    merged.write.mode("errorifexists").partitionBy("size").parquet(data_dir)
+
+    surviving = set(_sizes_written(spark, data_dir))
+    partitions = {
+        s: v for s, v in current["partitions"].items() if int(s) not in set(sizes)
+    }
+    partitions.update({str(s): version for s in surviving})
+    _commit(spark, base, {"version": version, "partitions": partitions})
+    # parquet footer count — no recompute of the merge plan
+    rows_written = spark.read.parquet(data_dir).count() if surviving else 0
+    return {"version": version, "sizes_touched": sizes, "rows_written": rows_written}
+
+
+def gc_versions(spark: SparkSession, base: str, keep_manifests: int = 2) -> list[int]:
+    """Delete version directories referenced by NONE of the latest
+    ``keep_manifests`` manifests, and the manifests older than those — the
+    grace period: the previous snapshot stays fully readable until the next
+    swap, so in-flight queries never lose files.  Returns deleted versions."""
+    versions = list_manifest_versions(spark, base)
+    kept_manifests = versions[-keep_manifests:]
+    referenced: set[int] = set(kept_manifests)
+    for m in kept_manifests:
+        referenced |= set(read_manifest(spark, base, m)["partitions"].values())
+    deleted = []
+    for name in fsutil.list_names(spark, base):
+        if name.startswith("v="):
+            v = int(name.split("=", 1)[1])
+            if v not in referenced:
+                fsutil.delete(spark, f"{base}/{name}")
+                deleted.append(v)
+    for m in versions[: -keep_manifests or None]:
+        if m not in kept_manifests:
+            fsutil.delete(spark, _manifest_path(base, m))
+    return sorted(deleted)

@@ -1,0 +1,182 @@
+"""Snapshot-isolated versioned DISC index (operators/versioned.py): manifest
+log, copy-on-write upsert, grace-period GC, and — the round-2 verdict's #1
+criterion — queries running CONCURRENTLY with rebuild/upsert never error
+(reference atomic-swap semantics, pkg/suggest/service.go:78-91)."""
+
+import threading
+
+import pytest
+
+from suggest_spark.functions.metrics import COSINE, JACCARD
+from suggest_spark.operators.indexing import build_ngram_index
+from suggest_spark.operators.service import SuggestService
+from suggest_spark.operators.versioned import (
+    gc_versions,
+    is_versioned,
+    list_manifest_versions,
+    read_manifest,
+    read_versioned_index,
+    upsert_versioned_index,
+    write_versioned_index,
+)
+from suggest_spark.sources import fsutil
+
+BASE = [
+    (0, "Nissan March"),
+    (1, "Nissan Juke"),
+    (2, "Nissan Maxima"),
+    (3, "Toyota Corolla"),
+    (4, "Honda Fit"),
+    (5, "ab"),  # tiny doc → its own size partition, untouched below
+]
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["size"], r["term"])
+        for r in df.select("doc_id", "size", "term").collect()
+    )
+
+
+def test_versioned_write_read_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "vidx")
+    dictionary = spark.createDataFrame(BASE, "doc_id long, value string")
+    m = write_versioned_index(build_ngram_index(dictionary), base)
+    assert m["version"] == 1 and is_versioned(spark, base)
+    assert _rows(read_versioned_index(spark, base)) == _rows(build_ngram_index(dictionary))
+
+
+def test_versioned_upsert_matches_full_rebuild_and_is_cow(spark, tmp_path):
+    base = str(tmp_path / "vidx")
+    dictionary = spark.createDataFrame(BASE, "doc_id long, value string")
+    write_versioned_index(build_ngram_index(dictionary), base)
+
+    # new doc, a replacement that CHANGES the doc's size, and a deletion
+    new_docs = spark.createDataFrame(
+        [(6, "Mazda Demio"), (3, "Toyota")], "doc_id long, value string"
+    )
+    deleted = spark.createDataFrame([(4,)], "doc_id long")
+    stats = upsert_versioned_index(spark, base, new_docs, deleted_ids=deleted)
+    assert stats["version"] == 2 and stats["rows_written"] > 0
+
+    final_dict = spark.createDataFrame(
+        [(0, "Nissan March"), (1, "Nissan Juke"), (2, "Nissan Maxima"),
+         (3, "Toyota"), (5, "ab"), (6, "Mazda Demio")],
+        "doc_id long, value string",
+    )
+    assert _rows(read_versioned_index(spark, base)) == _rows(build_ngram_index(final_dict))
+
+    # copy-on-write proof: the untouched size partition is still OWNED by
+    # version 1 in the new manifest — its files were never rewritten
+    doc5_size = build_ngram_index(
+        spark.createDataFrame([(5, "ab")], "doc_id long, value string")
+    ).first()["size"]
+    manifest = read_manifest(spark, base)
+    assert manifest["partitions"][str(doc5_size)] == 1
+    assert doc5_size not in stats["sizes_touched"]
+    # ...and the PREVIOUS snapshot is still fully readable (grace period)
+    old = read_versioned_index(spark, base, read_manifest(spark, base, 1))
+    assert _rows(old) == _rows(build_ngram_index(dictionary))
+
+
+def test_versioned_upsert_emptied_partition_disappears(spark, tmp_path):
+    base = str(tmp_path / "vidx")
+    dictionary = spark.createDataFrame(BASE, "doc_id long, value string")
+    write_versioned_index(build_ngram_index(dictionary), base)
+    doc5_size = build_ngram_index(
+        spark.createDataFrame([(5, "ab")], "doc_id long, value string")
+    ).first()["size"]
+    deleted = spark.createDataFrame([(5,)], "doc_id long")
+    upsert_versioned_index(
+        spark, base, spark.createDataFrame([], "doc_id long, value string"),
+        deleted_ids=deleted,
+    )
+    manifest = read_manifest(spark, base)
+    assert str(doc5_size) not in manifest["partitions"]
+    assert read_versioned_index(spark, base).where(f"size = {doc5_size}").count() == 0
+
+
+def test_gc_keeps_grace_window_then_collects(spark, tmp_path):
+    base = str(tmp_path / "vidx")
+    d1 = spark.createDataFrame(BASE, "doc_id long, value string")
+    d2 = spark.createDataFrame(BASE + [(6, "Mazda Demio")], "doc_id long, value string")
+    write_versioned_index(build_ngram_index(d1), base)  # v1
+    write_versioned_index(build_ngram_index(d2), base)  # v2 (full rebuild)
+    assert gc_versions(spark, base) == []  # grace: v1 is the previous snapshot
+    assert fsutil.exists(spark, f"{base}/v=1")
+    write_versioned_index(build_ngram_index(d1), base)  # v3
+    assert gc_versions(spark, base) == [1]
+    assert not fsutil.exists(spark, f"{base}/v=1")
+    assert list_manifest_versions(spark, base) == [2, 3]
+    # current and previous snapshots still resolve
+    assert _rows(read_versioned_index(spark, base)) == _rows(build_ngram_index(d1))
+    assert _rows(
+        read_versioned_index(spark, base, read_manifest(spark, base, 2))
+    ) == _rows(build_ngram_index(d2))
+
+
+def test_gc_never_collects_versions_referenced_by_cow(spark, tmp_path):
+    """An old version dir owning an untouched partition in the CURRENT
+    manifest survives GC no matter how many upserts happen."""
+    base = str(tmp_path / "vidx")
+    dictionary = spark.createDataFrame(BASE, "doc_id long, value string")
+    write_versioned_index(build_ngram_index(dictionary), base)  # v1
+    for i, word in enumerate(["Mazda Demio", "Suzuki Swift", "Subaru Legacy"]):
+        new = spark.createDataFrame([(10 + i, word)], "doc_id long, value string")
+        upsert_versioned_index(spark, base, new)
+        gc_versions(spark, base)
+    manifest = read_manifest(spark, base)
+    assert 1 in set(manifest["partitions"].values())  # untouched sizes still on v1
+    assert fsutil.exists(spark, f"{base}/v=1")
+    final = BASE + [(10, "Mazda Demio"), (11, "Suzuki Swift"), (12, "Subaru Legacy")]
+    assert _rows(read_versioned_index(spark, base)) == _rows(
+        build_ngram_index(spark.createDataFrame(final, "doc_id long, value string"))
+    )
+
+
+def test_manifest_commit_is_exclusive(spark, tmp_path):
+    base = str(tmp_path / "vidx")
+    write_versioned_index(
+        build_ngram_index(spark.createDataFrame(BASE, "doc_id long, value string")), base
+    )
+    with pytest.raises(Exception):  # second committer of v1 must fail loudly
+        fsutil.create_text_exclusive(spark, f"{base}/_manifests/v00000001.json", "{}")
+
+
+def test_concurrent_queries_during_disc_rebuild_and_upsert(spark, tmp_path):
+    """The round-2 verdict's done-criterion: a querier thread hammers the
+    service while the main thread rebuilds AND upserts the same DISC entry —
+    every query returns the right answer for whichever snapshot it saw, and
+    none errors (snapshot isolation + grace GC)."""
+    base = str(tmp_path / "svc_vidx")
+    svc = SuggestService(spark)
+    dictionary = spark.createDataFrame(BASE, "doc_id long, value string")
+    svc.add_disc_index("cars", dictionary, base)
+
+    errors: list = []
+    stop = threading.Event()
+
+    def querier():
+        try:
+            while not stop.is_set():
+                got = [v for _, v in svc.suggest("cars", "Nissan March", COSINE, 0.7, 5)]
+                assert got == ["Nissan March"], got
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=querier)
+    t.start()
+    try:
+        for i in range(2):
+            svc.add_disc_index("cars", dictionary, base)  # full rebuild + swap + gc
+            new = spark.createDataFrame(
+                [(20 + i, f"Mazda Demio {i}")], "doc_id long, value string"
+            )
+            svc.upsert_disc_index("cars", new)  # incremental + swap + gc
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    # the last full rebuild reset to BASE; only upsert #1's doc survives
+    got = svc.suggest("cars", "mazda de", JACCARD, 0.3, 5)
+    assert sorted(v for _, v in got) == ["Mazda Demio 1"]
