@@ -90,7 +90,7 @@ def run_curation(
 
         curated = curated.withColumn("text", redact_pii(F.col("text")))
 
-    curated_path = os.path.join(output_path, "curated")
+    curated_path = f"{output_path}/curated"
     curated.write.mode("overwrite").parquet(curated_path)
     # the near-dup stage removes docs that were counted 'kept' by the batch
     # funnel — move them so the funnel still sums to the input and 'kept'
@@ -98,9 +98,14 @@ def run_curation(
     funnel["near_duplicate"] = n_near_dup
     funnel["kept"] = funnel.get("kept", 0) - n_near_dup
 
-    os.makedirs(output_path, exist_ok=True)
-    with open(os.path.join(output_path, "funnel.json"), "w") as f:
-        json.dump(funnel, f, indent=1)
+    # the funnel audit lands NEXT TO the curated output on whatever
+    # filesystem --output names (hdfs://, s3a://, ...) — an os.makedirs/open
+    # write would crash after the expensive work or misroute to a local path
+    from suggest_spark.sources import fsutil
+
+    fsutil.write_text(
+        spark, f"{output_path}/funnel.json", json.dumps(funnel, indent=1)
+    )
     return {
         "input": input_path,
         "curated": curated_path,

@@ -5,6 +5,8 @@ static indexes only)."""
 
 import json
 
+from pyspark.sql import functions as F
+
 from suggest_spark.streaming.dedup import dedup_exact_stream, near_dup_ingest
 
 DOC_A = (
@@ -139,7 +141,12 @@ def test_compact_registry(spark, tmp_path):
     after = spark.read.parquet(registry)
     assert {(r["bucket"], r["doc_id"]) for r in after.collect()} == rows_before
     assert n == len(rows_before)
-    assert len(glob.glob(f"{registry}/*.parquet")) <= 2
+    # compacted: one file per pfx= partition, none at the root
+    assert not glob.glob(f"{registry}/*.parquet")
+    pfx_dirs = glob.glob(f"{registry}/pfx=*")
+    assert pfx_dirs
+    for d in pfx_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
 
     # post-compaction ingest still sees the registered owners
     results.clear()
@@ -215,3 +222,143 @@ def test_cross_batch_dup_with_smaller_incoming_id(spark, tmp_path):
     assert results == {42: 100}
     reg = spark.read.parquet(registry)
     assert {r["doc_id"] for r in reg.select("doc_id").distinct().collect()} == {100}
+
+
+def test_registry_read_is_prefix_pruned(spark, tmp_path):
+    """Round-3 scale fix: the per-batch registry read prunes to the batch's
+    own bucket prefixes (PartitionFilters in the scan), so per-batch input
+    is bounded by batch size + owners delta, never the whole corpus."""
+    from suggest_spark.streaming.dedup import _read_registry, near_dup_ingest
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    _write_jsonl(
+        ddir / "b1.json",
+        [{"doc_id": 1, "text": DOC_A}, {"doc_id": 2, "text": DOC_B},
+         {"doc_id": 3, "text": DOC_C}],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+    near_dup_ingest(stream, registry, lambda df, bid: df.count()).awaitTermination(180)
+
+    full = spark.read.parquet(registry)
+    pfx_values = sorted({r["pfx"] for r in full.select("pfx").distinct().collect()})
+    assert len(pfx_values) >= 2  # 3 docs x 4 bands spread over prefixes
+    probe = pfx_values[:1]
+    pruned = _read_registry(spark, registry, "long", prefixes=probe)
+    want = {(r["bucket"], r["doc_id"]) for r in full.where(F.col("pfx").isin(probe)).collect()}
+    assert {(r["bucket"], r["doc_id"]) for r in pruned.collect()} == want
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the filter is real, not empty: the pruned-out prefixes never reach the scan
+    import re
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and m.group(1).strip(), plan
+
+
+def test_registry_appends_are_delta_only(spark, tmp_path):
+    """The registry IS the compacted owners table: replaying a batch (or
+    re-arrival of an admitted doc) appends nothing, so physical rows ==
+    distinct buckets with no compaction pass needed."""
+    from suggest_spark.streaming.dedup import near_dup_ingest
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    _write_jsonl(
+        ddir / "b1.json",
+        [{"doc_id": 1, "text": DOC_A}, {"doc_id": 2, "text": DOC_B}],
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+        near_dup_ingest(stream, registry, lambda df, bid: df.count()).awaitTermination(180)
+
+    run_once()
+    n_first = spark.read.parquet(registry).count()
+    run_once()  # replay: every bucket already owned -> zero delta rows
+    reg = spark.read.parquet(registry)
+    assert reg.count() == n_first
+    assert reg.count() == reg.select("bucket").distinct().count()
+
+
+def test_legacy_flat_registry_migrates_via_compact(spark, tmp_path):
+    """A round-2 flat registry fails loudly at ingest (mixed layouts would
+    corrupt partition discovery) and migrates losslessly via
+    compact_registry."""
+    import glob
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from suggest_spark.streaming.dedup import compact_registry, near_dup_ingest
+
+    registry = str(tmp_path / "registry")
+    # fabricate a legacy flat registry: DOC_A's buckets owned by doc 7
+    legacy_stream_dir = tmp_path / "legacy_docs"
+    legacy_stream_dir.mkdir()
+    from suggest_spark.operators.dedup import minhash_bands, shingle_words
+
+    docs = spark.createDataFrame([(7, DOC_A)], "doc_id long, text string")
+    bands = minhash_bands(
+        docs.withColumn("_sh", shingle_words(F.col("text"), 5)),
+        8, 2, id_col="doc_id", shingles_col="_sh",
+    ).select("bucket", F.col("id").alias("doc_id"))
+    bands.coalesce(1).write.parquet(registry)
+    assert glob.glob(f"{registry}/*.parquet")  # flat layout on disk
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    _write_jsonl(ddir / "b.json", [{"doc_id": 9, "text": DOC_A}])
+
+    def ingest():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+        results = {}
+
+        def sink(df, bid):
+            for r in df.collect():
+                results[r["doc_id"]] = r["dup_of"]
+
+        q = near_dup_ingest(stream, registry, sink)
+        q.awaitTermination(180)
+        return results
+
+    with pytest.raises(StreamingQueryException, match="flat registry layout"):
+        ingest()
+
+    compact_registry(spark, registry)
+    assert ingest() == {9: 7}  # migrated owners still flag the dup
+
+
+def test_string_id_stream(spark, tmp_path):
+    """ADVICE round-2: the registry id type derives from the stream's id
+    column — string ids round-trip the registry and resolve owners
+    lexicographically."""
+    from suggest_spark.streaming.dedup import near_dup_ingest
+
+    ddir1 = tmp_path / "d1"
+    ddir1.mkdir()
+    registry = str(tmp_path / "registry")
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = r["dup_of"]
+
+    _write_jsonl(
+        ddir1 / "b.json",
+        [{"doc_id": "url-b", "text": DOC_A}, {"doc_id": "url-z", "text": DOC_A}],
+    )
+    s1 = spark.readStream.schema("doc_id string, text string").json(str(ddir1))
+    near_dup_ingest(s1, registry, sink).awaitTermination(180)
+    assert results == {"url-b": None, "url-z": "url-b"}
+
+    results.clear()
+    ddir2 = tmp_path / "d2"
+    ddir2.mkdir()
+    _write_jsonl(ddir2 / "b.json", [{"doc_id": "url-a", "text": DOC_A}])
+    s2 = spark.readStream.schema("doc_id string, text string").json(str(ddir2))
+    near_dup_ingest(s2, registry, sink).awaitTermination(180)
+    assert results == {"url-a": "url-b"}  # cross-batch, smaller incoming id
+    reg = spark.read.parquet(registry)
+    assert reg.schema["doc_id"].dataType.simpleString() == "string"
