@@ -199,3 +199,47 @@ def url_id_py(url: str) -> bytes:
 def rid_hex(rid_col: F.Column) -> F.Column:
     """Human-readable form of a binary rid (for outputs/debugging)."""
     return F.lower(F.hex(rid_col))
+
+
+def make_clustered_embeddings(
+    spark: SparkSession,
+    n_vectors: int,
+    dim: int = 64,
+    n_clusters: int = 32,
+    noise: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """Mixture-of-Gaussians embedding corpus ``(vec_id long, cluster int,
+    embedding array<double>)`` — unit-norm vectors concentrated around
+    ``n_clusters`` random unit centers (vector = normalize(center + p) where
+    p ~ N(0, (noise²/dim)·I), i.e. ``noise`` is the EXPECTED PERTURBATION
+    NORM relative to the unit center — dimension-independent, so noise=0.25
+    gives same-cluster cosine ≈ 0.97 at any dim).
+
+    The sf* ``embeddings.parquet`` vectors are isotropic uniform — ANN's
+    worst case, where no quantizer can beat probe_frac by much.  Real
+    embedding corpora are heavily clustered; this fixture is the shape IVF
+    recall is meaningful on (the evaluation setup used by the FAISS/IVFADC
+    literature, e.g. Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    Deterministic: everything from ``RandomState(seed)``, generated
+    driver-side in one pandas frame (fixture scale only — a 100 TB corpus
+    would generate per-partition from ``(seed, partition_id)`` instead).
+    """
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(n_clusters, size=n_vectors)
+    vecs = centers[labels] + (noise / np.sqrt(dim)) * rng.randn(n_vectors, dim)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vectors, dtype=np.int64),
+            "cluster": labels.astype(np.int32),
+            "embedding": list(vecs.tolist()),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "vec_id long, cluster int, embedding array<double>"
+    )
