@@ -132,6 +132,48 @@ def q_suggest_prefix(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITE
     return run
 
 
+def q_suggest_auto(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS):
+    """Same query through the auto-selected path (suggest_topk_auto): the
+    full production shape — persist the index + planner stats
+    (write_index_stats), reload them (read_index_stats), and let the
+    stats-driven selector pick the physical plan.  ``min_postings=1``
+    forces the PREFIX branch so the gate exercises the persisted
+    term_df/doc_terms/delta_max artifacts end-to-end; the oracle SQL is
+    shared with the plain path because both plans are row-identical."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from suggest_spark.operators.indexing import (
+            read_index_stats,
+            read_ngram_index,
+            write_index_stats,
+            write_ngram_index,
+        )
+        from suggest_spark.operators.suggest import suggest_topk_auto
+
+        dictionary = _part_dictionary(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="suggest_auto_gate_")
+        index = build_ngram_index(dictionary, config=CFG)
+        write_ngram_index(index, f"{base}/index")
+        write_index_stats(spark, index, f"{base}/stats")
+        out = suggest_topk_auto(
+            read_ngram_index(spark, f"{base}/index"),
+            _literals_df(spark, literals),
+            metric,
+            alpha,
+            k,
+            CFG,
+            stats=read_index_stats(spark, f"{base}/stats"),
+            min_postings=1,
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    return run
+
+
 def sql_suggest(metric: Metric, alpha: float, k: int, literals=SUGGEST_LITERALS) -> str:
     terms_v = duckdb_terms_sql("value", CFG)
     terms_q = duckdb_terms_sql("query", CFG)
@@ -1212,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_overlap_topk": q_suggest(OVERLAP, 0.8, 5),
         "suggest_exact_match": q_suggest(EXACT, 1.0, 5, EXACT_LITERALS),
         "suggest_prefix_jaccard_topk": q_suggest_prefix(JACCARD, 0.5, 5),
+        "suggest_auto_jaccard_topk": q_suggest_auto(JACCARD, 0.5, 5),
         "autocomplete_firstk": q_autocomplete(5),
         "ngram_index_build": q_index_build,
         "ngram_index_upsert": q_index_upsert,
@@ -1255,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_overlap_topk": sql_suggest(OVERLAP, 0.8, 5),
         "suggest_exact_match": sql_suggest(EXACT, 1.0, 5, EXACT_LITERALS),
         "suggest_prefix_jaccard_topk": sql_suggest(JACCARD, 0.5, 5),
+        "suggest_auto_jaccard_topk": sql_suggest(JACCARD, 0.5, 5),
         "autocomplete_firstk": sql_autocomplete(5),
         "ngram_index_build": SQL_INDEX_BUILD,
         "ngram_index_upsert": SQL_INDEX_UPSERT,

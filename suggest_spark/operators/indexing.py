@@ -16,6 +16,9 @@ counts downstream reproduce ScanCount semantics exactly
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +65,85 @@ def write_ngram_index(index_df: DataFrame, path: str) -> None:
 
 def read_ngram_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+@dataclass
+class IndexStats:
+    """Index-build-time artifacts the query planner needs at plan time.
+
+    The scalars come from ``stats.json`` (no Spark job to load) and the two
+    DataFrames are lazy parquet reads — so constructing ANY suggest plan from
+    an ``IndexStats``, including the prefix-filtered one, runs zero driver
+    jobs (the round-2 criterion for ``suggest_topk_prefix``'s plan-time
+    ``delta_max`` aggregate, suggest.py).  Analogue of the reference's
+    indexer artifacts that ship WITH the index to the service boot
+    (cmd/suggest/cmd/indexer.go:35-137 writes dictionary+index together).
+    """
+
+    num_docs: int
+    num_postings: int
+    distinct_terms: int
+    max_df: int
+    delta_max: int
+    term_df: DataFrame
+    doc_terms: DataFrame
+
+
+def write_index_stats(spark, index_df: DataFrame, path: str) -> dict:
+    """Compute and persist the planner statistics for an index at ``path``:
+
+    * ``{path}/term_df`` — ``(term, df)`` global document frequency (the
+      rarity table: drives the CPMerge prefix probe order and skew
+      detection);
+    * ``{path}/doc_terms`` — ``(doc_id, size, terms)`` per-document multiset
+      gram lists (the prefix path's verify side);
+    * ``{path}/stats.json`` — scalar summary: ``num_docs num_postings
+      distinct_terms max_df delta_max`` (``delta_max`` = corpus-wide max
+      duplicate-gram excess, the prefix-slack constant).
+
+    Run ONCE per index (re)build, next to ``write_ngram_index`` — two
+    aggregate jobs + two columnar writes over data the build already
+    shuffled; afterwards every query batch plans against the persisted
+    artifacts job-free.  Written through Spark so the artifacts land on
+    whatever filesystem holds the index (hdfs/s3a/file).
+    """
+    from ..sources import fsutil
+
+    term_df = index_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doc_terms = index_df.groupBy("doc_id", "size").agg(F.collect_list("term").alias("terms"))
+    term_df.write.mode("overwrite").parquet(f"{path}/term_df")
+    doc_terms.write.mode("overwrite").parquet(f"{path}/doc_terms")
+
+    d = spark.read.parquet(f"{path}/doc_terms").agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.sum("size").alias("num_postings"),
+        F.max(F.size("terms") - F.size(F.array_distinct("terms"))).alias("delta_max"),
+    ).first()
+    t = spark.read.parquet(f"{path}/term_df").agg(
+        F.count(F.lit(1)).alias("distinct_terms"), F.max("df").alias("max_df")
+    ).first()
+    stats = {
+        "num_docs": int(d["num_docs"] or 0),
+        "num_postings": int(d["num_postings"] or 0),
+        "distinct_terms": int(t["distinct_terms"] or 0),
+        "max_df": int(t["max_df"] or 0),
+        "delta_max": int(d["delta_max"] or 0),
+    }
+    fsutil.write_text(spark, f"{path}/stats.json", json.dumps(stats, sort_keys=True))
+    return stats
+
+
+def read_index_stats(spark, path: str) -> IndexStats:
+    """Load persisted planner stats — scalars from ``stats.json`` (no job),
+    DataFrames as lazy parquet reads."""
+    from ..sources import fsutil
+
+    scalars = json.loads(fsutil.read_text(spark, f"{path}/stats.json"))
+    return IndexStats(
+        term_df=spark.read.parquet(f"{path}/term_df"),
+        doc_terms=spark.read.parquet(f"{path}/doc_terms"),
+        **scalars,
+    )
 
 
 def upsert_ngram_index(

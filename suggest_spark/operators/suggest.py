@@ -127,6 +127,91 @@ def suggest_topk(
     ).orderBy("query_id", "rank")
 
 
+def select_suggest_plan(
+    num_docs: int,
+    num_postings: int,
+    max_df: int,
+    min_postings: int = 100_000_000,
+    skew_ratio: float = 0.25,
+) -> str:
+    """Choose ``"plain"`` (:func:`suggest_topk`) or ``"prefix"``
+    (:func:`suggest_topk_prefix`) from persisted index statistics.
+
+    Deterministic, stats-only, no Spark — unit-testable and auditable.  The
+    two plans return identical rows (proven by tests + the shared oracle);
+    this picks the cheaper physical strategy:
+
+    * ``plain`` streams every (query-gram × posting) match into one hash
+      aggregation — measured 2.6× faster than prefix at 2.4M postings
+      (236k-entry dictionary, suggest_topk_prefix docstring) because the
+      match stream fits comfortably in memory and skips the verify shuffle.
+    * ``prefix`` probes only each query's rarest grams and verifies exact
+      overlap on the candidate set — it wins when the unfiltered match
+      stream is the bottleneck: very large posting counts
+      (``num_postings >= min_postings``, default 10^8 ≈ multi-GB match
+      stream per 1k-query batch) or hot-gram skew
+      (``max_df / num_docs >= skew_ratio``: one gram hitting ≥25% of the
+      corpus makes every query containing it stream ``0.25·num_docs``
+      pre-aggregation rows through the plain join, while the prefix path
+      never probes hot grams at all — same rare-first rationale as
+      linkage/blocking.py).
+
+    Both thresholds are exposed for recalibration per cluster; the skew rule
+    only fires above 10^6 postings (below that even a fully-skewed stream is
+    trivially small).
+    """
+    if num_postings >= min_postings:
+        return "prefix"
+    if num_docs > 0 and num_postings >= 1_000_000 and max_df / num_docs >= skew_ratio:
+        return "prefix"
+    return "plain"
+
+
+def suggest_topk_auto(
+    index_df: DataFrame,
+    queries: DataFrame,
+    metric: Metric,
+    alpha: float,
+    k: int,
+    config: IndexConfig = DEFAULT_CONFIG,
+    dictionary: DataFrame | None = None,
+    stats=None,
+    min_postings: int = 100_000_000,
+    skew_ratio: float = 0.25,
+) -> DataFrame:
+    """Top-k suggest with automatic physical-plan selection.
+
+    ``stats`` is an :class:`~suggest_spark.operators.indexing.IndexStats`
+    from ``read_index_stats`` (persisted at index-build time by
+    ``write_index_stats``).  With stats supplied, plan CONSTRUCTION runs
+    zero Spark jobs on either branch: the selector reads three scalars from
+    ``stats.json`` and the prefix branch gets its ``term_df`` / ``doc_terms``
+    / ``delta_max`` from the persisted artifacts instead of plan-time
+    aggregates.  Without stats the plain path is used unconditionally (the
+    safe default at unknown scale — and the only job-free option, since the
+    prefix path would have to derive its artifacts).
+    """
+    if stats is None:
+        return suggest_topk(index_df, queries, metric, alpha, k, config, dictionary)
+    plan = select_suggest_plan(
+        stats.num_docs, stats.num_postings, stats.max_df, min_postings, skew_ratio
+    )
+    if plan == "prefix":
+        return suggest_topk_prefix(
+            index_df,
+            queries,
+            metric,
+            alpha,
+            k,
+            config,
+            dictionary,
+            term_df=stats.term_df,
+            doc_terms=stats.doc_terms,
+            delta_max=stats.delta_max,
+        )
+    return suggest_topk(index_df, queries, metric, alpha, k, config, dictionary)
+
+
 def term_document_frequency(index_df: DataFrame) -> DataFrame:
     """``(term, df)`` global document frequency over the index — compute once
     at index-build time and persist alongside it (it is to the suggest path

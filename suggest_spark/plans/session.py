@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_ICEBERG") == "1":
+        # opt-in Iceberg catalog (requires iceberg-spark-runtime on the
+        # classpath — sources/tables.py documents the deployment).  Gated by
+        # env so the same factory serves jar-less containers unchanged and
+        # the Iceberg-gated tests become runnable the day the jar exists.
+        from ..sources.tables import ICEBERG_CONF
+
+        for k, v in ICEBERG_CONF.items():
+            builder = builder.config(k, v)
+        builder = builder.config(
+            "spark.sql.catalog.warehouse.warehouse",
+            os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE", "spark-warehouse/iceberg"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -50,6 +50,29 @@ def write_pages(df: DataFrame, location: str, iceberg: bool | None = None) -> No
         df.write.mode("overwrite").partitionBy("lang").parquet(location)
 
 
+def merge_upsert(spark: SparkSession, table: str, updates: DataFrame, key: str = "url") -> None:
+    """Snapshot-isolated upsert into an Iceberg table via ``MERGE INTO``.
+
+    This is the transactional form of every in-place maintenance path in the
+    engine (index upsert, registry compaction, page re-crawl): matched keys
+    are updated, new keys inserted, and concurrent readers keep the previous
+    snapshot — no localCheckpoint pin, no versioned-path swap needed
+    (operators/versioned.py is the Parquet-only substitute).  Requires the
+    Iceberg extensions (``ICEBERG_CONF``); plain Parquet tables do not parse
+    MERGE, which is exactly why the Parquet paths use dynamic-partition
+    overwrite + manifest swap instead.
+    """
+    updates.createOrReplaceTempView("_merge_updates")
+    cols = updates.columns
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+    spark.sql(
+        f"MERGE INTO {table} t USING _merge_updates s ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+        f"VALUES ({', '.join('s.' + c for c in cols)})"
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

