@@ -401,6 +401,12 @@ def main() -> None:
     extra["spellcheck_cases"] = report["n_cases"]
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: suggest_words joined the headline in
+    # round 3, so this subtotal restates the total over the round-2 segment
+    # set (BASELINE.md "Round-3 headline composition change")
+    extra["headline_total_r2_segments"] = round(
+        sum(v for k, v in timings.items() if k != "suggest_words"), 3
+    )
     out = {
         "metric": "headline_total_wall",
         "value": total,

@@ -26,7 +26,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from suggest_spark.config import IndexConfig
-from suggest_spark.operators.indexing import build_ngram_index, write_ngram_index
+from suggest_spark.operators.indexing import (
+    build_ngram_index,
+    write_index_stats,
+    write_ngram_index,
+)
 from suggest_spark.plans.session import get_spark
 from suggest_spark.sources.dictionary import read_line_dictionary, write_dictionary
 
@@ -57,14 +61,26 @@ def run_index_job(spark, desc: dict, base_dir: str) -> dict | None:
 
     t0 = time.time()
     index_path = os.path.join(out, f"{desc['name']}_index")
-    write_ngram_index(build_ngram_index(dictionary, config=cfg), index_path)
+    index = build_ngram_index(dictionary, config=cfg)
+    write_ngram_index(index, index_path)
     t_index = time.time() - t0
+
+    # planner statistics next to the index: the booting service feeds them
+    # to suggest_topk_auto so plan selection and the prefix path's
+    # term_df/doc_terms/delta_max artifacts cost zero query-time jobs
+    t0 = time.time()
+    stats_path = f"{index_path}_stats"
+    stats = write_index_stats(spark, index, stats_path)
+    t_stats = time.time() - t0
     return {
         "name": desc["name"],
         "dictionary": dict_path,
         "index": index_path,
+        "stats": stats_path,
+        "index_stats": stats,
         "t_dictionary_sec": round(t_dict, 2),
         "t_index_sec": round(t_index, 2),
+        "t_stats_sec": round(t_stats, 2),
     }
 
 

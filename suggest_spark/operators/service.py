@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, IndexConfig
 from ..functions.metrics import Metric
-from .indexing import build_ngram_index, read_ngram_index, write_ngram_index
-from .suggest import autocomplete_firstk, suggest_topk
+from .indexing import IndexStats, build_ngram_index, read_ngram_index, write_ngram_index
+from .suggest import autocomplete_firstk, suggest_topk_auto
 
 
 @dataclass(frozen=True)
@@ -48,6 +48,14 @@ class _Entry:
     config: IndexConfig
     path: str | None = None  # DISC entries: the versioned warehouse dir
     owns_dict: bool = False  # the SERVICE cached this dictionary (upsert path)
+    # planner statistics (indexing.IndexStats) — present only when FRESH for
+    # the served index: suggest() feeds them to suggest_topk_auto, whose
+    # prefix branch verifies against stats.doc_terms, so stale stats would
+    # return wrong scores (not just a bad plan choice).  Upserts therefore
+    # INVALIDATE stats (suggest falls back to the plain plan, always
+    # correct); refresh_stats() recomputes and re-arms auto selection.
+    stats: IndexStats | None = None
+    stats_path: str | None = None
 
 
 class SuggestService:
@@ -129,7 +137,8 @@ class SuggestService:
             index = read_versioned_index(self.spark, path)
         else:
             index = read_ngram_index(self.spark, path)
-        self._swap(name, _Entry(dictionary, index, config, path))
+        stats, stats_path = self._load_stats(f"{path}_stats")
+        self._swap(name, _Entry(dictionary, index, config, path, stats=stats, stats_path=stats_path))
 
     def upsert_disc_index(
         self,
@@ -180,10 +189,60 @@ class SuggestService:
             index = read_versioned_index(self.spark, e.path)
         else:
             index = read_ngram_index(self.spark, e.path)
-        self._swap(name, _Entry(dictionary, index, e.config, e.path, owns_dict=True))
+        # stats are NOT carried over: the index just changed, and serving the
+        # prefix plan against the previous doc_terms would be wrong (see
+        # _Entry.stats).  stats_path survives so refresh_stats() can re-arm.
+        self._swap(
+            name,
+            _Entry(
+                dictionary,
+                index,
+                e.config,
+                e.path,
+                owns_dict=True,
+                stats_path=e.stats_path or (f"{e.path}_stats" if e.path else None),
+            ),
+        )
         if versioned:
             gc_versions(self.spark, e.path)
         return stats
+
+    def _load_stats(self, stats_path: str):
+        """(IndexStats, path) when persisted planner stats exist at
+        ``stats_path``; (None, path) otherwise — never raises on absence."""
+        from ..sources import fsutil
+        from .indexing import read_index_stats
+
+        if fsutil.exists(self.spark, f"{stats_path}/stats.json"):
+            return read_index_stats(self.spark, stats_path), stats_path
+        return None, stats_path
+
+    def refresh_stats(self, name: str) -> dict:
+        """Recompute and persist planner statistics from the entry's CURRENT
+        served index, then re-arm auto plan selection (run after a batch of
+        upserts; one full index scan + two columnar writes — amortize it
+        over many trickle updates, not per upsert)."""
+        from .indexing import write_index_stats
+
+        e = self._get(name)
+        stats_path = e.stats_path or (f"{e.path}_stats" if e.path else None)
+        if stats_path is None:
+            raise ValueError(f"{name!r} has no stats path (RAM entry)")
+        written = write_index_stats(self.spark, e.index, stats_path)
+        stats, _ = self._load_stats(stats_path)
+        self._swap(
+            name,
+            _Entry(
+                e.dictionary,
+                e.index,
+                e.config,
+                e.path,
+                owns_dict=e.owns_dict,
+                stats=stats,
+                stats_path=stats_path,
+            ),
+        )
+        return written
 
     def _swap(self, name: str, entry: _Entry) -> None:
         with self._lock:
@@ -195,10 +254,17 @@ class SuggestService:
         # CALLER cached (RAM/DISC add paths) are left alone (owns_dict).
         # blocking=False: an in-flight query still holding the old plan
         # recomputes from the immutable lineage instead of failing.
+        # identity guard: a metadata-only swap (refresh_stats) reuses the
+        # SAME index/dictionary objects — unpersisting them would evict the
+        # cache out from under the entry just installed.
         if old is not None:
-            if old.index.is_cached:
+            if old.index is not entry.index and old.index.is_cached:
                 old.index.unpersist(blocking=False)
-            if old.owns_dict and old.dictionary.is_cached:
+            if (
+                old.owns_dict
+                and old.dictionary is not entry.dictionary
+                and old.dictionary.is_cached
+            ):
                 old.dictionary.unpersist(blocking=False)
 
     def _get(self, name: str) -> _Entry:
@@ -222,11 +288,15 @@ class SuggestService:
         topk: int,
     ) -> list[tuple[float, str]]:
         """Top-k ``(score, value)`` for one query — ResultItem parity
-        (service.go:105-139)."""
+        (service.go:105-139).  Physical plan is auto-selected from the
+        entry's persisted planner stats when present (indexer-job artifacts
+        or refresh_stats); without stats the plain plan runs — both return
+        identical rows."""
         e = self._get(name)
         q = self.spark.createDataFrame([(0, query)], "query_id long, query string")
-        rows = suggest_topk(
-            e.index, q, metric, similarity, topk, e.config, dictionary=e.dictionary
+        rows = suggest_topk_auto(
+            e.index, q, metric, similarity, topk, e.config,
+            dictionary=e.dictionary, stats=e.stats,
         ).collect()
         return [(r["score"], r["value"]) for r in rows]
 

@@ -88,3 +88,52 @@ def test_concurrent_reindex_and_query(spark, cars_df):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_stats_lifecycle_load_invalidate_refresh(spark, tmp_path):
+    """Planner-stats lifecycle on a DISC entry booted from indexer-job
+    artifacts: stats load at boot (auto plan selection armed), an upsert
+    INVALIDATES them (stale doc_terms must never reach the prefix verify),
+    and refresh_stats recomputes + re-arms — goldens hold at every step."""
+    import os
+
+    from jobs.indexer_job import index_config_from_description, run_index_job
+    from suggest_spark.functions.metrics import JACCARD
+
+    with open(tmp_path / "cars.dict", "w") as f:
+        f.write("Nissan March\nNissan Juke\nNissan Maxima\nToyota Corolla\n")
+    desc = {
+        "driver": "DISC", "name": "cars", "nGramSize": 3,
+        "alphabet": ["english", "$"], "source": "cars.dict",
+        "output": "db", "pad": "$", "wrap": ["$", "$"],
+    }
+    res = run_index_job(spark, desc, str(tmp_path))
+    assert os.path.exists(os.path.join(res["stats"], "stats.json"))
+    assert res["index_stats"]["num_docs"] == 4
+
+    svc = SuggestService(spark)
+    svc.load_disc_index("cars", str(tmp_path / "db"), index_config_from_description(desc))
+    entry = svc._get("cars")
+    assert entry.stats is not None and entry.stats.num_docs == 4
+
+    def golden():
+        return [v for _, v in svc.suggest("cars", "Nissan ma", JACCARD, 0.5, 2)]
+
+    assert golden() == ["Nissan Maxima", "Nissan March"]
+
+    # upsert: doc added → stats invalidated, plain plan serves correctly
+    new = spark.createDataFrame([(10, "Nissan Micra")], "doc_id long, value string")
+    svc.upsert_disc_index("cars", new)
+    entry = svc._get("cars")
+    assert entry.stats is None and entry.stats_path is not None
+    assert golden() == ["Nissan Maxima", "Nissan March"]
+    assert [v for _, v in svc.suggest("cars", "Nissan Micra", JACCARD, 0.5, 1)] == [
+        "Nissan Micra"
+    ]
+
+    # refresh: stats recomputed from the CURRENT index, auto re-armed
+    written = svc.refresh_stats("cars")
+    assert written["num_docs"] == 5
+    entry = svc._get("cars")
+    assert entry.stats is not None and entry.stats.num_docs == 5
+    assert golden() == ["Nissan Maxima", "Nissan March"]
