@@ -106,20 +106,40 @@ def write_index_stats(spark, index_df: DataFrame, path: str) -> dict:
     shuffled; afterwards every query batch plans against the persisted
     artifacts job-free.  Written through Spark so the artifacts land on
     whatever filesystem holds the index (hdfs/s3a/file).
+
+    Snapshot isolation: each write lands in a fresh immutable ``v=N``
+    subdirectory and ``stats.json`` is re-pointed at it — a refresh never
+    rewrites files a concurrent reader's lazy DataFrames resolve to (same
+    build-then-swap rule as operators/versioned.py).  The previous version
+    dir is kept as the grace window; older ones are deleted.
+
+    FRESHNESS is the caller's contract: stats describe one index snapshot,
+    and the prefix suggest plan VERIFIES against ``doc_terms`` — stale stats
+    mean wrong scores, not just a bad plan choice.  Any index mutation must
+    invalidate ``{path}/stats.json`` before touching the index (the service
+    layer does) and re-run this afterwards.
     """
     from ..sources import fsutil
 
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in fsutil.list_names(spark, path)
+        if n.startswith("v=")
+    )
+    v = (versions[-1] + 1) if versions else 1
+    vdir = f"{path}/v={v}"
+
     term_df = index_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     doc_terms = index_df.groupBy("doc_id", "size").agg(F.collect_list("term").alias("terms"))
-    term_df.write.mode("overwrite").parquet(f"{path}/term_df")
-    doc_terms.write.mode("overwrite").parquet(f"{path}/doc_terms")
+    term_df.write.mode("errorifexists").parquet(f"{vdir}/term_df")
+    doc_terms.write.mode("errorifexists").parquet(f"{vdir}/doc_terms")
 
-    d = spark.read.parquet(f"{path}/doc_terms").agg(
+    d = spark.read.parquet(f"{vdir}/doc_terms").agg(
         F.count(F.lit(1)).alias("num_docs"),
         F.sum("size").alias("num_postings"),
         F.max(F.size("terms") - F.size(F.array_distinct("terms"))).alias("delta_max"),
     ).first()
-    t = spark.read.parquet(f"{path}/term_df").agg(
+    t = spark.read.parquet(f"{vdir}/term_df").agg(
         F.count(F.lit(1)).alias("distinct_terms"), F.max("df").alias("max_df")
     ).first()
     stats = {
@@ -129,19 +149,26 @@ def write_index_stats(spark, index_df: DataFrame, path: str) -> dict:
         "max_df": int(t["max_df"] or 0),
         "delta_max": int(d["delta_max"] or 0),
     }
-    fsutil.write_text(spark, f"{path}/stats.json", json.dumps(stats, sort_keys=True))
+    fsutil.write_text(
+        spark, f"{path}/stats.json", json.dumps({**stats, "v": v}, sort_keys=True)
+    )
+    # grace GC: current + previous stay readable, older versions go
+    for old in versions[:-1]:
+        fsutil.delete(spark, f"{path}/v={old}")
     return stats
 
 
 def read_index_stats(spark, path: str) -> IndexStats:
     """Load persisted planner stats — scalars from ``stats.json`` (no job),
-    DataFrames as lazy parquet reads."""
+    DataFrames as lazy parquet reads of the version dir the json points at."""
     from ..sources import fsutil
 
     scalars = json.loads(fsutil.read_text(spark, f"{path}/stats.json"))
+    v = scalars.pop("v", None)
+    vdir = f"{path}/v={v}" if v is not None else path
     return IndexStats(
-        term_df=spark.read.parquet(f"{path}/term_df"),
-        doc_terms=spark.read.parquet(f"{path}/doc_terms"),
+        term_df=spark.read.parquet(f"{vdir}/term_df"),
+        doc_terms=spark.read.parquet(f"{vdir}/doc_terms"),
         **scalars,
     )
 

@@ -236,6 +236,23 @@ def read_google_ngram_format(spark, out_dir: str, order: int) -> dict[int, DataF
     return out
 
 
+def adjust_context(context: list[str], order: int) -> list[str]:
+    """languageModel.Next's context adjustment (language_model.go:100-113):
+    shorter contexts are left-wrapped with <S>; longer ones keep the
+    trailing order−1 words; an exactly-order context drops its last word.
+    Single source of truth — :func:`next_word_scores` and the batched
+    spellchecker (spellcheck.py) both call this; their per-case/batch
+    equality is a tested parity invariant."""
+    ctx = [w.lower() for w in context]
+    if len(ctx) + 1 < order:
+        ctx = [START] + ctx
+    elif len(ctx) > order:
+        ctx = ctx[len(ctx) - order + 1 :]
+    elif len(ctx) == order:
+        ctx = ctx[: order - 1]
+    return ctx
+
+
 def next_word_scores(
     context: list[str],
     counts: dict[int, DataFrame],
@@ -252,14 +269,7 @@ def next_word_scores(
     matches the raw nGramModel.Next entry point (the ngram_model_test.go
     goldens).  Returns ``(word, score)``.
     """
-    ctx = [w.lower() for w in context]
-    if wrap_context:
-        if len(ctx) + 1 < order:
-            ctx = [START] + ctx
-        elif len(ctx) > order:
-            ctx = ctx[len(ctx) - order + 1 :]
-        elif len(ctx) == order:
-            ctx = ctx[: order - 1]
+    ctx = adjust_context(context, order) if wrap_context else [w.lower() for w in context]
     k = len(ctx)
     prefix = " ".join(ctx)
 

@@ -56,6 +56,11 @@ class _Entry:
     # correct); refresh_stats() recomputes and re-arms auto selection.
     stats: IndexStats | None = None
     stats_path: str | None = None
+    # load_disc_index entries: the persisted dictionary artifact — upserts
+    # write the merged dictionary back here (versioned), else a restart
+    # would serve upserted docs with null values and a later rebuild from
+    # the stale artifact would silently drop them
+    dict_path: str | None = None
 
 
 class SuggestService:
@@ -67,6 +72,12 @@ class SuggestService:
     Re-adding a name REBUILDS and atomically swaps the entry — the hot
     reindex path (service.go:78-91 AddIndex under Lock).
     """
+
+    #: time floor for version GC after a swap — swap COUNT alone is not a
+    #: safe grace window under rapid trickle upserts (two quick swaps would
+    #: delete files a long-running query planned against moments earlier).
+    #: Tests drive gc_versions directly with 0.
+    gc_min_age_sec: float = 300.0
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -104,16 +115,27 @@ class SuggestService:
             write_versioned_index,
         )
 
+        stats_path = f"{path}_stats"
         if rebuild:
+            # stats describe the OLD snapshot — invalidate on disk BEFORE the
+            # index changes (crash-safe: worst case is missing stats = plain
+            # plan, never stale doc_terms feeding the prefix verify)
+            self._invalidate_stats(stats_path)
             write_versioned_index(build_ngram_index(dictionary, config=config), path)
             index = read_versioned_index(self.spark, path)
-        elif is_versioned(self.spark, path):
-            index = read_versioned_index(self.spark, path)
-        else:  # pre-versioned flat layout (bare size=* dirs)
-            index = read_ngram_index(self.spark, path)
-        self._swap(name, _Entry(dictionary, index, config, path))
+            stats = None
+        else:
+            if is_versioned(self.spark, path):
+                index = read_versioned_index(self.spark, path)
+            else:  # pre-versioned flat layout (bare size=* dirs)
+                index = read_ngram_index(self.spark, path)
+            stats, _ = self._load_stats(stats_path)
+        self._swap(
+            name,
+            _Entry(dictionary, index, config, path, stats=stats, stats_path=stats_path),
+        )
         if rebuild:
-            gc_versions(self.spark, path)
+            gc_versions(self.spark, path, min_age_sec=self.gc_min_age_sec)
 
     def load_disc_index(
         self,
@@ -129,16 +151,31 @@ class SuggestService:
         import os
 
         from ..sources.dictionary import read_dictionary
-        from .versioned import is_versioned, read_versioned_index
+        from .versioned import is_versioned, read_versioned_index, read_versioned_table
 
-        dictionary = read_dictionary(self.spark, os.path.join(warehouse_dir, f"{name}_dictionary"))
+        dict_path = os.path.join(warehouse_dir, f"{name}_dictionary")
+        if is_versioned(self.spark, dict_path):  # upserted since indexer run
+            dictionary = read_versioned_table(self.spark, dict_path)
+        else:
+            dictionary = read_dictionary(self.spark, dict_path)
         path = os.path.join(warehouse_dir, f"{name}_index")
         if is_versioned(self.spark, path):
             index = read_versioned_index(self.spark, path)
         else:
             index = read_ngram_index(self.spark, path)
         stats, stats_path = self._load_stats(f"{path}_stats")
-        self._swap(name, _Entry(dictionary, index, config, path, stats=stats, stats_path=stats_path))
+        self._swap(
+            name,
+            _Entry(
+                dictionary,
+                index,
+                config,
+                path,
+                stats=stats,
+                stats_path=stats_path,
+                dict_path=dict_path,
+            ),
+        )
 
     def upsert_disc_index(
         self,
@@ -153,18 +190,32 @@ class SuggestService:
         full rebuild+swap (service.go:78-91), safe under concurrent queries.
         ``new_docs`` is ``(doc_id, value)``; a doc_id already present is
         replaced.  Flat pre-versioned entries fall back to the legacy
-        in-place :func:`upsert_ngram_index` (NOT reader-isolated)."""
+        in-place :func:`upsert_ngram_index` (NOT reader-isolated).
+
+        Durability: entries with a ``dict_path`` (load_disc_index boots)
+        also persist the merged dictionary there (versioned full-replace) —
+        index and dictionary must change TOGETHER or a restart serves
+        upserted docs with null values.  A crash between the index write
+        and the dictionary write leaves exactly that transient state; the
+        upsert is idempotent, so retrying it heals.  Entries whose
+        dictionary was passed in by the caller (add_disc_index) leave
+        dictionary persistence to the caller."""
         from .indexing import upsert_ngram_index
         from .versioned import (
             gc_versions,
             is_versioned,
             read_versioned_index,
             upsert_versioned_index,
+            write_versioned_table,
         )
 
         e = self._get(name)
         if e.path is None:
             raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
+        # invalidate persisted stats BEFORE the index changes: a later boot
+        # (load_disc_index) must never re-arm pre-upsert stats against the
+        # post-upsert index (stale doc_terms ⇒ wrong prefix-plan scores)
+        self._invalidate_stats(e.stats_path or f"{e.path}_stats")
         versioned = is_versioned(self.spark, e.path)
         if versioned:
             stats = upsert_versioned_index(
@@ -185,6 +236,9 @@ class SuggestService:
             .cache()
         )
         dictionary.count()
+        if e.dict_path is not None:
+            write_versioned_table(dictionary, e.dict_path)
+            gc_versions(self.spark, e.dict_path, min_age_sec=self.gc_min_age_sec)
         if versioned:
             index = read_versioned_index(self.spark, e.path)
         else:
@@ -201,21 +255,34 @@ class SuggestService:
                 e.path,
                 owns_dict=True,
                 stats_path=e.stats_path or (f"{e.path}_stats" if e.path else None),
+                dict_path=e.dict_path,
             ),
         )
         if versioned:
-            gc_versions(self.spark, e.path)
+            gc_versions(self.spark, e.path, min_age_sec=self.gc_min_age_sec)
         return stats
 
     def _load_stats(self, stats_path: str):
         """(IndexStats, path) when persisted planner stats exist at
-        ``stats_path``; (None, path) otherwise — never raises on absence."""
+        ``stats_path``; (None, path) otherwise — never raises on absence or
+        a torn ``stats.json`` (treated as absent: plain plan, always safe)."""
         from ..sources import fsutil
         from .indexing import read_index_stats
 
         if fsutil.exists(self.spark, f"{stats_path}/stats.json"):
-            return read_index_stats(self.spark, stats_path), stats_path
+            try:
+                return read_index_stats(self.spark, stats_path), stats_path
+            except Exception:
+                return None, stats_path
         return None, stats_path
+
+    def _invalidate_stats(self, stats_path: str) -> None:
+        """Remove the stats pointer file so no loader re-arms stats that
+        predate an index mutation (the artifact dirs stay for in-flight
+        readers; the next refresh/write GCs them)."""
+        from ..sources import fsutil
+
+        fsutil.delete(self.spark, f"{stats_path}/stats.json", recursive=False)
 
     def refresh_stats(self, name: str) -> dict:
         """Recompute and persist planner statistics from the entry's CURRENT
@@ -240,6 +307,7 @@ class SuggestService:
                 owns_dict=e.owns_dict,
                 stats=stats,
                 stats_path=stats_path,
+                dict_path=e.dict_path,
             ),
         )
         return written

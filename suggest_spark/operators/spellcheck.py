@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.analysis import word_tokens_py
 from ..functions.metrics import COSINE
-from .lm import START, UNKNOWN, next_word_scores
+from .lm import UNKNOWN, next_word_scores
 from .suggest import _query_grams, suggest_topk
 
 
@@ -154,16 +154,12 @@ def predict(
 
 
 def _adjusted_context(context: list[str], order: int) -> list[str]:
-    """languageModel.Next's context adjustment (language_model.go:100-113),
-    exactly as :func:`next_word_scores` applies it."""
-    ctx = [w.lower() for w in context]
-    if len(ctx) + 1 < order:
-        ctx = [START] + ctx
-    elif len(ctx) > order:
-        ctx = ctx[len(ctx) - order + 1 :]
-    elif len(ctx) == order:
-        ctx = ctx[: order - 1]
-    return ctx
+    """languageModel.Next's context adjustment — delegates to the single
+    implementation in lm.py so the per-case path (next_word_scores) and this
+    batched path can never drift apart."""
+    from .lm import adjust_context
+
+    return adjust_context(context, order)
 
 
 def _batched_lm_scores(

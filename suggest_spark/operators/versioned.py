@@ -91,6 +91,31 @@ def _commit(spark: SparkSession, base: str, manifest: dict) -> None:
     )
 
 
+def _data_versions(spark: SparkSession, base: str) -> list[int]:
+    """Version numbers of ALL ``v=`` data dirs on disk — committed or not."""
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fsutil.list_names(spark, base)
+        if n.startswith("v=")
+    )
+
+
+def _next_version(spark: SparkSession, base: str, floor: int = 0) -> int:
+    """The next safe version number: one past every committed manifest AND
+    every data dir on disk.  A writer that crashed after its parquet write
+    but before its manifest commit leaves an orphan ``v=N`` dir; computing
+    from manifests alone would make every retry collide with it
+    (``errorifexists``) and wedge the index.  The orphan itself is swept by
+    the next :func:`gc_versions` (it is referenced by no manifest)."""
+    versions = list_manifest_versions(spark, base)
+    highest = max(
+        versions[-1] if versions else 0,
+        max(_data_versions(spark, base), default=0),
+        floor,
+    )
+    return highest + 1
+
+
 def _sizes_written(spark: SparkSession, data_dir: str) -> list[int]:
     """Partition values present in a just-written version dir — from the
     directory listing, no Spark job."""
@@ -107,8 +132,7 @@ def write_versioned_index(index_df: DataFrame, base: str) -> dict:
     ``indexing.write_ngram_index`` (reference full-rebuild + swap,
     service.go:78-91).  Returns the committed manifest."""
     spark = index_df.sparkSession
-    versions = list_manifest_versions(spark, base)
-    version = (versions[-1] + 1) if versions else 1
+    version = _next_version(spark, base)
     data_dir = _data_dir(base, version)
     index_df.select("doc_id", "size", "term").write.mode("errorifexists").partitionBy(
         "size"
@@ -158,7 +182,7 @@ def upsert_versioned_index(
     Returns ``{"version", "sizes_touched", "rows_written"}``.
     """
     current = read_manifest(spark, base)
-    version = current["version"] + 1
+    version = _next_version(spark, base, floor=current["version"])
 
     new_rows = build_ngram_index(new_docs, id_col, text_col, config)
     sizes = {r["size"] for r in new_rows.select("size").distinct().collect()}
@@ -198,13 +222,71 @@ def upsert_versioned_index(
     return {"version": version, "sizes_touched": sizes, "rows_written": rows_written}
 
 
-def gc_versions(spark: SparkSession, base: str, keep_manifests: int = 2) -> list[int]:
+def write_versioned_table(df: DataFrame, base: str) -> dict:
+    """Full-replace write of an UNPARTITIONED table under the same manifest
+    protocol: fresh immutable ``v=N`` dir + atomic manifest commit.  Used
+    for the dictionary artifact, whose upserted state must survive a restart
+    (an index row without its dictionary value serves nulls) but whose
+    in-place rewrite would yank files from concurrent readers — the exact
+    index hazard, one table shape simpler (a single logical partition)."""
+    spark = df.sparkSession
+    version = _next_version(spark, base)
+    df.write.mode("errorifexists").parquet(_data_dir(base, version))
+    manifest = {"version": version, "partitions": {"all": version}}
+    _commit(spark, base, manifest)
+    return manifest
+
+
+def read_versioned_table(spark: SparkSession, base: str) -> DataFrame:
+    """Current snapshot of a :func:`write_versioned_table` table."""
+    manifest = read_manifest(spark, base)
+    return spark.read.parquet(_data_dir(base, manifest["partitions"]["all"]))
+
+
+def gc_versions(
+    spark: SparkSession,
+    base: str,
+    keep_manifests: int = 2,
+    min_age_sec: float = 0.0,
+) -> list[int]:
     """Delete version directories referenced by NONE of the latest
     ``keep_manifests`` manifests, and the manifests older than those — the
     grace period: the previous snapshot stays fully readable until the next
-    swap, so in-flight queries never lose files.  Returns deleted versions."""
+    swap, so in-flight queries never lose files.  Returns deleted versions.
+
+    ``min_age_sec`` adds a TIME floor on top of the swap-count window: a
+    manifest (and everything it references) younger than this is kept even
+    beyond ``keep_manifests``.  Swap count alone is not a safe grace measure
+    under rapid trickle upserts — two quick swaps would delete files a
+    long-running query planned against moments earlier; the service layer
+    passes its ``gc_min_age_sec`` here.  The same floor protects a
+    not-yet-committed ``v=N`` dir (an in-progress or crashed write) from
+    being swept while fresh; once stale it is reclaimed as an orphan.
+
+    Single-writer assumption (same as the reference's reindex): concurrent
+    REBUILDS of one index are not coordinated — run GC from the maintenance
+    path that owns the index.
+
+    A pre-versioned FLAT layout (bare ``size=*`` dirs at ``base`` — the
+    round-2 format) is treated as version 0: once at least
+    ``keep_manifests`` manifests exist (so the flat data is ≥2 swaps stale)
+    and the age floor has passed, the flat dirs are deleted too — without
+    this, upgrading a flat index via ``add_disc_index(rebuild=True)`` would
+    orphan a full stale copy forever and leave ``spark.read.parquet(base)``
+    facing conflicting ``v=``/``size=`` partition structures."""
+    import time
+
+    now = time.time()
+
+    def _young(path: str) -> bool:
+        return min_age_sec > 0 and (now - fsutil.mtime(spark, path)) < min_age_sec
+
     versions = list_manifest_versions(spark, base)
-    kept_manifests = versions[-keep_manifests:]
+    kept_manifests = [
+        m
+        for m in versions
+        if m in versions[-keep_manifests:] or _young(_manifest_path(base, m))
+    ]
     referenced: set[int] = set(kept_manifests)
     for m in kept_manifests:
         referenced |= set(read_manifest(spark, base, m)["partitions"].values())
@@ -212,10 +294,17 @@ def gc_versions(spark: SparkSession, base: str, keep_manifests: int = 2) -> list
     for name in fsutil.list_names(spark, base):
         if name.startswith("v="):
             v = int(name.split("=", 1)[1])
-            if v not in referenced:
+            if v not in referenced and not _young(f"{base}/{name}"):
                 fsutil.delete(spark, f"{base}/{name}")
                 deleted.append(v)
-    for m in versions[: -keep_manifests or None]:
+        elif (
+            name.startswith("size=") or name.endswith(".parquet") or name == "_SUCCESS"
+        ) and len(versions) >= keep_manifests:
+            # pre-versioned flat data (size= dirs for the index, bare parquet
+            # files for a table) — version 0, swept once ≥2 snapshots old
+            if not _young(f"{base}/{name}"):
+                fsutil.delete(spark, f"{base}/{name}")
+    for m in versions:
         if m not in kept_manifests:
             fsutil.delete(spark, _manifest_path(base, m))
     return sorted(deleted)

@@ -132,33 +132,63 @@ def create_app(
 
 def service_from_config(spark, config_path: str, base_dir: str | None = None):
     """Boot a service + reindex job from a reference-format IndexDescription
-    config (app.go:110-137 configureService): run the indexer for every DISC
-    description, register each built index, and return ``(service,
+    config (app.go:110-137 configureService).  Returns ``(service,
     reindex_job)`` where the job re-reads the config and rebuild-swaps every
-    entry — the SIGHUP / POST /internal/reindex semantics (app.go:47-68).
+    DISC entry — the SIGHUP / POST /internal/reindex semantics (app.go:47-68).
+
+    Reader isolation: a reindex goes through ``add_disc_index(rebuild=True)``
+    — a fresh immutable ``v=N`` write + atomic manifest swap (versioned.py) —
+    never an in-place overwrite of the parquet a live query is scanning, and
+    planner stats are refreshed through the same versioned protocol.  The
+    served dictionary is always the lazy line-read of the SOURCE ``.dict``
+    file (the dictionary of record, which a reindex never rewrites); the
+    ``<name>_dictionary`` parquet is only a boot artifact for external
+    ``load_disc_index`` consumers — created once here, refreshed offline via
+    ``jobs/indexer_job.py`` (an in-place overwrite from the serving process
+    would yank files from concurrent readers).  Boot opens an existing index
+    snapshot as-is (no rebuild of a 100 TB index on process start) and
+    builds only on first run.
     """
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    from jobs.indexer_job import index_config_from_description, run_index_job
+    from jobs.indexer_job import index_config_from_description
 
     from ..operators.service import SuggestService
+    from ..sources import fsutil
+    from ..sources.dictionary import read_line_dictionary, write_dictionary
 
     service = SuggestService(spark)
     base = base_dir or os.path.dirname(os.path.abspath(config_path))
 
-    def reindex_job() -> None:
+    def _disc_descriptions() -> list[dict]:
         with open(config_path) as f:
-            descriptions = json.load(f)
-        for desc in descriptions:
-            result = run_index_job(spark, desc, base)
-            if result is None:  # RAM-only description: indexer skips it
-                continue
-            service.load_disc_index(
-                desc["name"],
-                os.path.join(base, desc.get("output", "db")),
-                index_config_from_description(desc),
-            )
+            return [d for d in json.load(f) if d.get("driver", "DISC") == "DISC"]
 
-    reindex_job()
+    def _paths(desc: dict) -> tuple[str, str, str]:
+        out = os.path.join(base, desc.get("output", "db"))
+        return (
+            os.path.join(base, desc["source"]),
+            os.path.join(out, f"{desc['name']}_index"),
+            os.path.join(out, f"{desc['name']}_dictionary"),
+        )
+
+    def _register(desc: dict, rebuild: bool) -> None:
+        cfg = index_config_from_description(desc)
+        source, index_path, dict_path = _paths(desc)
+        dictionary = read_line_dictionary(spark, source)
+        service.add_disc_index(desc["name"], dictionary, index_path, cfg, rebuild=rebuild)
+        if rebuild:
+            service.refresh_stats(desc["name"])
+            if not fsutil.exists(spark, dict_path):  # create-only boot artifact
+                write_dictionary(dictionary, dict_path)
+
+    def reindex_job() -> None:
+        for desc in _disc_descriptions():
+            _register(desc, rebuild=True)
+
+    for desc in _disc_descriptions():
+        _, index_path, _ = _paths(desc)
+        _register(desc, rebuild=not fsutil.exists(spark, index_path))
+
     return service, reindex_job

@@ -47,6 +47,14 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(hpath))
 
 
+def mtime(spark: SparkSession, path: str) -> float:
+    """Modification time of ``path`` in epoch seconds (0.0 if absent)."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return 0.0
+    return fs.getFileStatus(hpath).getModificationTime() / 1000.0
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     fs, hpath, jvm = _fs(spark, path)
     stream = fs.open(hpath)

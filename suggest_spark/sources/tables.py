@@ -62,15 +62,26 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame, key: str =
     MERGE, which is exactly why the Parquet paths use dynamic-partition
     overwrite + manifest swap instead.
     """
-    updates.createOrReplaceTempView("_merge_updates")
-    cols = updates.columns
-    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
-    spark.sql(
-        f"MERGE INTO {table} t USING _merge_updates s ON t.{key} = s.{key} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
-        f"VALUES ({', '.join('s.' + c for c in cols)})"
-    )
+    import uuid
+
+    # per-call view name: concurrent callers on one session must not clobber
+    # each other's source frame mid-merge
+    view = f"_merge_updates_{uuid.uuid4().hex}"
+    updates.createOrReplaceTempView(view)
+    try:
+        cols = updates.columns
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+        # a key-only updates frame has nothing to update — MATCHED rows are
+        # already present; emitting an empty SET would be a ParseException
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
+        spark.sql(
+            f"MERGE INTO {table} t USING {view} s ON t.{key} = s.{key} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+            f"VALUES ({', '.join('s.' + c for c in cols)})"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def write_bucketed(

@@ -90,19 +90,34 @@ def _pfx(bucket_col, n_prefixes: int):
     return (F.crc32(bucket_col) % n_prefixes).cast("int")
 
 
-def _registry_meta(spark: SparkSession, path: str, n_prefixes: int) -> dict:
-    """Read (or create) the registry's layout metadata.  The prefix count is
-    fixed at creation — every later ingest uses the recorded value, so two
-    jobs can never partition one registry two different ways."""
+def _registry_meta(
+    spark: SparkSession, path: str, n_prefixes: int, id_type: str | None = None
+) -> dict:
+    """Read (or create) the registry's layout metadata.  The prefix count
+    AND the owner-id type are fixed at creation — every later ingest and
+    every compaction uses the recorded values, so two jobs can never
+    partition one registry two different ways, and maintenance never forces
+    a wrong ``doc_id`` schema onto the files (a string-id registry read as
+    ``long`` fails on its first compaction)."""
     meta_path = f"{path}/{_META}"
     if fsutil.exists(spark, meta_path):
-        return json.loads(fsutil.read_text(spark, meta_path))
+        meta = json.loads(fsutil.read_text(spark, meta_path))
+        if id_type is not None and meta.get("id_type", id_type) != id_type:
+            raise ValueError(
+                f"{path} was created with id_type={meta['id_type']!r}; "
+                f"this stream's id column is {id_type!r}"
+            )
+        return meta
     if _is_legacy_registry(spark, path):
         raise ValueError(
             f"{path} uses the round-2 flat registry layout; migrate it with "
             "compact_registry(spark, path) before ingesting"
         )
-    meta = {"n_prefixes": n_prefixes, "layout": "pfx-owners-v2"}
+    meta = {
+        "n_prefixes": n_prefixes,
+        "layout": "pfx-owners-v2",
+        "id_type": id_type or "long",
+    }
     fsutil.write_text(spark, meta_path, json.dumps(meta, sort_keys=True))
     return meta
 
@@ -164,11 +179,29 @@ def compact_registry(spark: SparkSession, registry_path: str, n_files: int = 8) 
     ``n_files`` caps the shuffle tasks per partitioned write wave (a pfx
     still lands in one file; tiny registries just use fewer tasks)."""
     if _is_legacy_registry(spark, registry_path):
-        meta = {"n_prefixes": DEFAULT_N_PREFIXES, "layout": "pfx-owners-v2"}
+        # migration: the id type comes from the files themselves
         reg = spark.read.parquet(registry_path).select("bucket", "doc_id")
+        meta = {
+            "n_prefixes": DEFAULT_N_PREFIXES,
+            "layout": "pfx-owners-v2",
+            "id_type": reg.schema["doc_id"].dataType.simpleString(),
+        }
     else:
         meta = _registry_meta(spark, registry_path, DEFAULT_N_PREFIXES)
-        reg = _read_registry(spark, registry_path).drop("pfx")
+        id_type = meta.get("id_type")
+        if id_type is None and any(
+            n.startswith("pfx=") for n in fsutil.list_names(spark, registry_path)
+        ):
+            # meta written before id_type existed: recover it from the files
+            # and record it for every later maintenance pass
+            id_type = (
+                spark.read.option("basePath", registry_path)
+                .parquet(registry_path)
+                .schema["doc_id"]
+                .dataType.simpleString()
+            )
+            meta["id_type"] = id_type
+        reg = _read_registry(spark, registry_path, id_type or "long").drop("pfx")
     reg = (
         reg.distinct()
         .withColumn("pfx", _pfx(F.col("bucket"), meta["n_prefixes"]))
@@ -216,7 +249,7 @@ def near_dup_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        meta = _registry_meta(spark, registry_path, n_prefixes)
+        meta = _registry_meta(spark, registry_path, n_prefixes, id_type)
         with_sh = batch_df.withColumn(
             "_shingles", shingle_words(F.col(text_col), shingle_k)
         )

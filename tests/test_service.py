@@ -137,3 +137,36 @@ def test_stats_lifecycle_load_invalidate_refresh(spark, tmp_path):
     entry = svc._get("cars")
     assert entry.stats is not None and entry.stats.num_docs == 5
     assert golden() == ["Nissan Maxima", "Nissan March"]
+
+
+def test_upsert_invalidates_stats_on_disk_for_later_boots(spark, tmp_path):
+    """The staleness gate must hold ACROSS processes: stats persisted before
+    an upsert describe the old snapshot, so a fresh service booting from the
+    same warehouse after the upsert must come up with stats=None (plain
+    plan), not re-arm pre-upsert doc_terms."""
+    from jobs.indexer_job import index_config_from_description, run_index_job
+    from suggest_spark.functions.metrics import JACCARD
+
+    with open(tmp_path / "cars.dict", "w") as f:
+        f.write("Nissan March\nNissan Juke\n")
+    desc = {
+        "driver": "DISC", "name": "cars", "nGramSize": 3,
+        "alphabet": ["english", "$"], "source": "cars.dict",
+        "output": "db", "pad": "$", "wrap": ["$", "$"],
+    }
+    run_index_job(spark, desc, str(tmp_path))
+    cfg = index_config_from_description(desc)
+
+    svc = SuggestService(spark)
+    svc.load_disc_index("cars", str(tmp_path / "db"), cfg)
+    assert svc._get("cars").stats is not None
+    new = spark.createDataFrame([(10, "Nissan Micra")], "doc_id long, value string")
+    svc.upsert_disc_index("cars", new)
+
+    svc2 = SuggestService(spark)  # simulated restart
+    svc2.load_disc_index("cars", str(tmp_path / "db"), cfg)
+    assert svc2._get("cars").stats is None
+    # correctness unaffected: plain plan serves the post-upsert corpus
+    assert [v for _, v in svc2.suggest("cars", "Nissan Micra", JACCARD, 0.5, 1)] == [
+        "Nissan Micra"
+    ]

@@ -362,3 +362,39 @@ def test_string_id_stream(spark, tmp_path):
     assert results == {"url-a": "url-b"}  # cross-batch, smaller incoming id
     reg = spark.read.parquet(registry)
     assert reg.schema["doc_id"].dataType.simpleString() == "string"
+
+
+def test_string_id_registry_compacts_and_rejects_mismatched_stream(spark, tmp_path):
+    """compact_registry must honor the id type recorded at registry creation
+    (forcing the default long schema onto string-id files broke compaction),
+    and an ingest with a different id type must be rejected at entry."""
+    import pytest
+
+    from suggest_spark.streaming.dedup import compact_registry, near_dup_ingest
+
+    ddir = tmp_path / "d"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    _write_jsonl(
+        ddir / "b.json",
+        [{"doc_id": "url-b", "text": DOC_A}, {"doc_id": "url-z", "text": DOC_A}],
+    )
+    s = spark.readStream.schema("doc_id string, text string").json(str(ddir))
+    near_dup_ingest(s, registry, lambda df, bid: df.collect()).awaitTermination(180)
+
+    n = compact_registry(spark, registry)
+    assert n > 0
+    reg = spark.read.parquet(registry)
+    assert reg.schema["doc_id"].dataType.simpleString() == "string"
+
+    # a long-id stream against the string-id registry fails loudly, not by
+    # appending a mismatched column
+    ddir2 = tmp_path / "d2"
+    ddir2.mkdir()
+    _write_jsonl(ddir2 / "b.json", [{"doc_id": 1, "text": DOC_A}])
+    s2 = spark.readStream.schema("doc_id long, text string").json(str(ddir2))
+    with pytest.raises(Exception, match="id_type"):
+        try:
+            near_dup_ingest(s2, registry, lambda df, bid: None).awaitTermination(180)
+        except Exception as e:  # streaming wraps the ValueError
+            raise RuntimeError(f"id_type rejection: {e}") from e

@@ -180,3 +180,76 @@ def test_concurrent_queries_during_disc_rebuild_and_upsert(spark, tmp_path):
     # the last full rebuild reset to BASE; only upsert #1's doc survives
     got = svc.suggest("cars", "mazda de", JACCARD, 0.3, 5)
     assert sorted(v for _, v in got) == ["Mazda Demio 1"]
+
+
+def test_retry_after_orphan_data_dir_does_not_wedge(spark, tmp_path):
+    """A writer that crashed after its parquet write but before its manifest
+    commit leaves an orphan v=N dir; a retry must pick the NEXT version
+    instead of colliding with the orphan (errorifexists), and gc must sweep
+    the orphan once stale."""
+    from suggest_spark.operators.versioned import (
+        gc_versions,
+        list_manifest_versions,
+        read_versioned_index,
+        write_versioned_index,
+    )
+
+    base = str(tmp_path / "idx")
+    d = spark.createDataFrame([(0, "Nissan March")], "doc_id long, value string")
+    from suggest_spark.operators.indexing import build_ngram_index
+
+    write_versioned_index(build_ngram_index(d), base)  # v=1 committed
+
+    # simulate the crash: v=2 data exists, no manifest for it
+    build_ngram_index(d).write.partitionBy("size").parquet(f"{base}/v=2")
+    assert list_manifest_versions(spark, base) == [1]
+
+    # retry: must land on v=3, not die on the v=2 orphan
+    m = write_versioned_index(build_ngram_index(d), base)
+    assert m["version"] == 3
+    assert read_versioned_index(spark, base).count() > 0
+    # orphan (referenced by no manifest) is reclaimed by gc
+    assert 2 in gc_versions(spark, base)
+
+
+def test_gc_min_age_keeps_young_versions(spark, tmp_path):
+    """Time floor on GC: versions younger than min_age_sec survive even
+    beyond the keep_manifests swap window."""
+    import os
+
+    from suggest_spark.operators.indexing import build_ngram_index
+    from suggest_spark.operators.versioned import gc_versions, write_versioned_index
+
+    base = str(tmp_path / "idx")
+    d = spark.createDataFrame([(0, "Nissan March")], "doc_id long, value string")
+    for _ in range(3):  # v=1..3, keep_manifests=2 would normally drop v=1
+        write_versioned_index(build_ngram_index(d), base)
+    assert gc_versions(spark, base, min_age_sec=3600) == []
+    assert os.path.isdir(f"{base}/v=1")
+    # with no age floor the swap window applies as before
+    assert gc_versions(spark, base) == [1]
+
+
+def test_flat_layout_gc_after_versioned_upgrade(spark, tmp_path):
+    """Upgrading a flat (round-2) index to the versioned layout must not
+    orphan the stale flat size=* dirs forever: once >= keep_manifests
+    manifests exist they are swept with the same grace rules."""
+    import os
+
+    from suggest_spark.operators.indexing import build_ngram_index, write_ngram_index
+    from suggest_spark.operators.versioned import gc_versions, write_versioned_index
+
+    base = str(tmp_path / "idx")
+    d = spark.createDataFrame([(0, "Nissan March")], "doc_id long, value string")
+    write_ngram_index(build_ngram_index(d), base)  # flat layout
+    flat_dirs = [n for n in os.listdir(base) if n.startswith("size=")]
+    assert flat_dirs
+
+    write_versioned_index(build_ngram_index(d), base)  # upgrade: v=1
+    gc_versions(spark, base)  # one manifest only: flat data is the previous snapshot
+    assert any(n.startswith("size=") for n in os.listdir(base))
+
+    write_versioned_index(build_ngram_index(d), base)  # second swap: v=2
+    gc_versions(spark, base)
+    assert not any(n.startswith("size=") for n in os.listdir(base))
+    # a young flat layout is also protected by the age floor
