@@ -120,3 +120,47 @@ def test_auto_parity_and_job_free_planning(spark, stats_fixture):
     assert got_plain == baseline
     assert got_pref == baseline
     assert len(baseline) > 0
+
+
+def test_concurrent_prefix_queries_during_stats_refresh(spark, stats_fixture):
+    """Stats refreshes are versioned (fresh v=N + pointer swap, previous kept
+    as grace): a prefix-plan query scanning the old stats artifacts must
+    keep returning the golden answer while refreshes run concurrently."""
+    import threading
+
+    _, base, _ = stats_fixture
+    index = spark.read.parquet(f"{base}/index")
+    dictionary = spark.createDataFrame(
+        list(enumerate(VALUES)), "doc_id long, value string"
+    )
+    queries = spark.createDataFrame([(0, "honda fitt")], "query_id long, query string")
+    errors: list = []
+
+    def refresher():
+        try:
+            for _ in range(3):
+                write_index_stats(
+                    spark, build_ngram_index(dictionary, config=DEFAULT_CONFIG),
+                    f"{base}/stats",
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def querier():
+        try:
+            for _ in range(4):
+                st = read_index_stats(spark, f"{base}/stats")
+                rows = suggest_topk_auto(
+                    index, queries, JACCARD, 0.5, 1, DEFAULT_CONFIG,
+                    dictionary=dictionary, stats=st, min_postings=1,
+                ).collect()
+                assert [r["value"] for r in rows] == ["honda fit"], rows
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=refresher), threading.Thread(target=querier)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
