@@ -23,7 +23,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..config import DEFAULT_CONFIG, IndexConfig
 from ..functions.metrics import Metric
-from ..operators.suggest import suggest_topk
+from ..operators.suggest import suggest_topk_auto
 
 
 def serve_suggest_stream(
@@ -35,18 +35,24 @@ def serve_suggest_stream(
     sink,
     config: IndexConfig = DEFAULT_CONFIG,
     dictionary: DataFrame | None = None,
+    stats=None,
 ) -> StreamingQuery:
     """Run the suggest plan on each micro-batch of a query stream.
 
     ``query_stream`` — streaming DataFrame with (query_id long, query string).
     ``sink(batch_df, batch_id)`` — foreachBatch callback receiving the ranked
     results of that micro-batch.
+    ``stats`` — optional persisted ``IndexStats`` (indexing.read_index_stats):
+    the same stats-driven physical-plan selection the batch and HTTP paths
+    use, at zero per-batch planning cost; omitted → plain plan.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = suggest_topk(index_df, batch_df, metric, alpha, k, config, dictionary)
+        out = suggest_topk_auto(
+            index_df, batch_df, metric, alpha, k, config, dictionary, stats=stats
+        )
         sink(out, batch_id)
 
     return (
