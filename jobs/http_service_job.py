@@ -35,17 +35,46 @@ def write_pid_file(pid_path: str | None) -> None:
         f.write(str(os.getpid()))
 
 
-def install_sighup_reindex(reindex_job) -> None:
-    """app.go:47-68 listenToSystemSignals: SIGHUP -> live reindex."""
+def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
+    """app.go:47-68 listenToSystemSignals: SIGHUP -> live reindex.
 
-    def _on_hup(signum, frame):
+    The rebuild runs on a daemon THREAD, not in the signal handler: Python
+    delivers signals on the main thread — Flask's accept loop — so a
+    synchronous multi-minute Spark rebuild there would freeze all new
+    connections for its duration (the reference reindexes in a goroutine
+    while net/http keeps serving).  A second SIGHUP while one rebuild is in
+    flight is skipped (the Go signal channel coalesces the same way); the
+    service's own mutation lock already serializes overlapping mutators.
+
+    Returns ``{"thread": last Thread or None}`` so tests/operators can join.
+    """
+    import threading
+
+    state: dict = {"thread": None}
+    in_flight = threading.Lock()
+
+    def _run():
         try:
             reindex_job()
             print("Reindex done!")
         except Exception as e:  # the Go loop logs and keeps serving
             print(f"Fail to reload index {e}")
+        finally:
+            in_flight.release()
+
+    def _on_hup(signum, frame):
+        if not in_flight.acquire(blocking=False):
+            print("Reindex already in progress, skipping")
+            return
+        if background:
+            t = threading.Thread(target=_run, daemon=True, name="sighup-reindex")
+            state["thread"] = t
+            t.start()
+        else:  # tests: deterministic synchronous path
+            _run()
 
     signal.signal(signal.SIGHUP, _on_hup)
+    return state
 
 
 def main() -> None:

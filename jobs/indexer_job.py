@@ -32,6 +32,7 @@ from suggest_spark.operators.indexing import (
     write_ngram_index,
 )
 from suggest_spark.plans.session import get_spark
+from suggest_spark.sources import fsutil
 from suggest_spark.sources.dictionary import read_line_dictionary, write_dictionary
 
 
@@ -61,6 +62,12 @@ def run_index_job(spark, desc: dict, base_dir: str) -> dict | None:
 
     t0 = time.time()
     index_path = os.path.join(out, f"{desc['name']}_index")
+    stats_path = f"{index_path}_stats"
+    # a RE-run mutates the index in place: invalidate any stats from the
+    # previous run BEFORE touching it (write_index_stats freshness contract
+    # — a crash between the index write and the stats rewrite must leave
+    # missing stats, never stale ones armed against the new index)
+    fsutil.delete(spark, f"{stats_path}/stats.json", recursive=False)
     index = build_ngram_index(dictionary, config=cfg)
     write_ngram_index(index, index_path)
     t_index = time.time() - t0
@@ -69,7 +76,6 @@ def run_index_job(spark, desc: dict, base_dir: str) -> dict | None:
     # to suggest_topk_auto so plan selection and the prefix path's
     # term_df/doc_terms/delta_max artifacts cost zero query-time jobs
     t0 = time.time()
-    stats_path = f"{index_path}_stats"
     stats = write_index_stats(spark, index, stats_path)
     t_stats = time.time() - t0
     return {

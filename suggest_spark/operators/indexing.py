@@ -89,7 +89,24 @@ class IndexStats:
     doc_terms: DataFrame
 
 
-def write_index_stats(spark, index_df: DataFrame, path: str) -> dict:
+def term_document_frequency(index_df: DataFrame) -> DataFrame:
+    """``(term, df)`` global document frequency over the index — the rarity
+    table behind the CPMerge prefix probe order and skew detection.  Single
+    source of truth: persisted by :func:`write_index_stats`, used as the
+    plan-time fallback by ``suggest.suggest_topk_prefix`` (re-exported from
+    ``operators.suggest``)."""
+    return index_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def doc_term_lists(index_df: DataFrame) -> DataFrame:
+    """``(doc_id, size, terms)`` per-document multiset gram lists — the
+    prefix path's verify side; persisted by :func:`write_index_stats`."""
+    return index_df.groupBy("doc_id", "size").agg(F.collect_list("term").alias("terms"))
+
+
+def write_index_stats(
+    spark, index_df: DataFrame, path: str, min_age_sec: float = 0.0
+) -> dict:
     """Compute and persist the planner statistics for an index at ``path``:
 
     * ``{path}/term_df`` — ``(term, df)`` global document frequency (the
@@ -129,8 +146,8 @@ def write_index_stats(spark, index_df: DataFrame, path: str) -> dict:
     v = (versions[-1] + 1) if versions else 1
     vdir = f"{path}/v={v}"
 
-    term_df = index_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    doc_terms = index_df.groupBy("doc_id", "size").agg(F.collect_list("term").alias("terms"))
+    term_df = term_document_frequency(index_df)
+    doc_terms = doc_term_lists(index_df)
     term_df.write.mode("errorifexists").parquet(f"{vdir}/term_df")
     doc_terms.write.mode("errorifexists").parquet(f"{vdir}/doc_terms")
 
@@ -152,9 +169,19 @@ def write_index_stats(spark, index_df: DataFrame, path: str) -> dict:
     fsutil.write_text(
         spark, f"{path}/stats.json", json.dumps({**stats, "v": v}, sort_keys=True)
     )
-    # grace GC: current + previous stay readable, older versions go
+    # grace GC: current + previous stay readable, older versions go — with
+    # the same TIME floor the index GC has (gc_versions min_age_sec): two
+    # quick refreshes must not delete artifact dirs an in-flight prefix-plan
+    # query is still scanning.  The serving layer passes its gc_min_age_sec;
+    # fresh builds with no possible readers use the 0 default.
+    import time as _time
+
+    now = _time.time()
     for old in versions[:-1]:
-        fsutil.delete(spark, f"{path}/v={old}")
+        old_dir = f"{path}/v={old}"
+        if min_age_sec > 0 and (now - fsutil.mtime(spark, old_dir)) < min_age_sec:
+            continue
+        fsutil.delete(spark, old_dir)
     return stats
 
 

@@ -82,6 +82,15 @@ class SuggestService:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._lock = threading.Lock()
+        # serializes MUTATORS (rebuild/upsert/refresh) per service: queries
+        # stay lock-free on immutable snapshots, but two concurrent mutators
+        # could interleave read-compute-swap (e.g. refresh_stats persisting
+        # stats of a pre-upsert index AFTER the upsert invalidated them and
+        # swapping serving back to the stale snapshot).  The reference holds
+        # its registry lock across the whole AddIndex for the same reason
+        # (service.go:78-91); mutations are rare, so holding this across the
+        # Spark jobs is the point, not a bottleneck.
+        self._mutate = threading.Lock()
         self._entries: dict[str, _Entry] = {}
 
     # -- registration ------------------------------------------------------
@@ -92,9 +101,10 @@ class SuggestService:
         dictionary: DataFrame,
         config: IndexConfig = DEFAULT_CONFIG,
     ) -> None:
-        index = build_ngram_index(dictionary, config=config).cache()
-        index.count()  # materialize before the swap, like builder.Build()
-        self._swap(name, _Entry(dictionary, index, config))
+        with self._mutate:
+            index = build_ngram_index(dictionary, config=config).cache()
+            index.count()  # materialize before the swap, like builder.Build()
+            self._swap(name, _Entry(dictionary, index, config))
 
     def add_disc_index(
         self,
@@ -115,27 +125,28 @@ class SuggestService:
             write_versioned_index,
         )
 
-        stats_path = f"{path}_stats"
-        if rebuild:
-            # stats describe the OLD snapshot — invalidate on disk BEFORE the
-            # index changes (crash-safe: worst case is missing stats = plain
-            # plan, never stale doc_terms feeding the prefix verify)
-            self._invalidate_stats(stats_path)
-            write_versioned_index(build_ngram_index(dictionary, config=config), path)
-            index = read_versioned_index(self.spark, path)
-            stats = None
-        else:
-            if is_versioned(self.spark, path):
+        with self._mutate:
+            stats_path = f"{path}_stats"
+            if rebuild:
+                # stats describe the OLD snapshot — invalidate on disk BEFORE
+                # the index changes (crash-safe: worst case is missing stats =
+                # plain plan, never stale doc_terms feeding the prefix verify)
+                self._invalidate_stats(stats_path)
+                write_versioned_index(build_ngram_index(dictionary, config=config), path)
                 index = read_versioned_index(self.spark, path)
-            else:  # pre-versioned flat layout (bare size=* dirs)
-                index = read_ngram_index(self.spark, path)
-            stats, _ = self._load_stats(stats_path)
-        self._swap(
-            name,
-            _Entry(dictionary, index, config, path, stats=stats, stats_path=stats_path),
-        )
-        if rebuild:
-            gc_versions(self.spark, path, min_age_sec=self.gc_min_age_sec)
+                stats = None
+            else:
+                if is_versioned(self.spark, path):
+                    index = read_versioned_index(self.spark, path)
+                else:  # pre-versioned flat layout (bare size=* dirs)
+                    index = read_ngram_index(self.spark, path)
+                stats, _ = self._load_stats(stats_path)
+            self._swap(
+                name,
+                _Entry(dictionary, index, config, path, stats=stats, stats_path=stats_path),
+            )
+            if rebuild:
+                gc_versions(self.spark, path, min_age_sec=self.gc_min_age_sec)
 
     def load_disc_index(
         self,
@@ -153,29 +164,30 @@ class SuggestService:
         from ..sources.dictionary import read_dictionary
         from .versioned import is_versioned, read_versioned_index, read_versioned_table
 
-        dict_path = os.path.join(warehouse_dir, f"{name}_dictionary")
-        if is_versioned(self.spark, dict_path):  # upserted since indexer run
-            dictionary = read_versioned_table(self.spark, dict_path)
-        else:
-            dictionary = read_dictionary(self.spark, dict_path)
-        path = os.path.join(warehouse_dir, f"{name}_index")
-        if is_versioned(self.spark, path):
-            index = read_versioned_index(self.spark, path)
-        else:
-            index = read_ngram_index(self.spark, path)
-        stats, stats_path = self._load_stats(f"{path}_stats")
-        self._swap(
-            name,
-            _Entry(
-                dictionary,
-                index,
-                config,
-                path,
-                stats=stats,
-                stats_path=stats_path,
-                dict_path=dict_path,
-            ),
-        )
+        with self._mutate:
+            dict_path = os.path.join(warehouse_dir, f"{name}_dictionary")
+            if is_versioned(self.spark, dict_path):  # upserted since indexer run
+                dictionary = read_versioned_table(self.spark, dict_path)
+            else:
+                dictionary = read_dictionary(self.spark, dict_path)
+            path = os.path.join(warehouse_dir, f"{name}_index")
+            if is_versioned(self.spark, path):
+                index = read_versioned_index(self.spark, path)
+            else:
+                index = read_ngram_index(self.spark, path)
+            stats, stats_path = self._load_stats(f"{path}_stats")
+            self._swap(
+                name,
+                _Entry(
+                    dictionary,
+                    index,
+                    config,
+                    path,
+                    stats=stats,
+                    stats_path=stats_path,
+                    dict_path=dict_path,
+                ),
+            )
 
     def upsert_disc_index(
         self,
@@ -205,62 +217,71 @@ class SuggestService:
             gc_versions,
             is_versioned,
             read_versioned_index,
+            read_versioned_table,
             upsert_versioned_index,
             write_versioned_table,
         )
 
-        e = self._get(name)
-        if e.path is None:
-            raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
-        # invalidate persisted stats BEFORE the index changes: a later boot
-        # (load_disc_index) must never re-arm pre-upsert stats against the
-        # post-upsert index (stale doc_terms ⇒ wrong prefix-plan scores)
-        self._invalidate_stats(e.stats_path or f"{e.path}_stats")
-        versioned = is_versioned(self.spark, e.path)
-        if versioned:
-            stats = upsert_versioned_index(
-                self.spark, e.path, new_docs, e.config, deleted_ids
+        with self._mutate:
+            e = self._get(name)
+            if e.path is None:
+                raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
+            # invalidate persisted stats BEFORE the index changes: a later boot
+            # (load_disc_index) must never re-arm pre-upsert stats against the
+            # post-upsert index (stale doc_terms ⇒ wrong prefix-plan scores)
+            self._invalidate_stats(e.stats_path or f"{e.path}_stats")
+            versioned = is_versioned(self.spark, e.path)
+            if versioned:
+                stats = upsert_versioned_index(
+                    self.spark, e.path, new_docs, e.config, deleted_ids
+                )
+            else:
+                stats = upsert_ngram_index(
+                    self.spark, e.path, new_docs, e.config, deleted_ids
+                )
+            drop = new_docs.select("doc_id")
+            if deleted_ids is not None:
+                drop = drop.unionByName(
+                    deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
+                )
+            merged = e.dictionary.join(drop.distinct(), "doc_id", "left_anti").unionByName(
+                new_docs.select("doc_id", "value")
             )
-        else:
-            stats = upsert_ngram_index(
-                self.spark, e.path, new_docs, e.config, deleted_ids
+            if e.dict_path is not None:
+                # persist, then serve the RE-READ — a lineage cut: chaining
+                # each upsert's join/union onto the previous in-memory
+                # dictionary grows the plan unboundedly across trickle
+                # upserts (a cache eviction would recompute the whole chain)
+                write_versioned_table(merged, e.dict_path)
+                gc_versions(self.spark, e.dict_path, min_age_sec=self.gc_min_age_sec)
+                dictionary = read_versioned_table(self.spark, e.dict_path).cache()
+            else:
+                # no persistence target (caller owns the dictionary of
+                # record): localCheckpoint cuts the lineage instead
+                dictionary = merged.localCheckpoint(eager=False)
+            dictionary.count()
+            if versioned:
+                index = read_versioned_index(self.spark, e.path)
+            else:
+                index = read_ngram_index(self.spark, e.path)
+            # stats are NOT carried over: the index just changed, and serving
+            # the prefix plan against the previous doc_terms would be wrong
+            # (_Entry.stats).  stats_path survives so refresh_stats() re-arms.
+            self._swap(
+                name,
+                _Entry(
+                    dictionary,
+                    index,
+                    e.config,
+                    e.path,
+                    owns_dict=True,
+                    stats_path=e.stats_path or (f"{e.path}_stats" if e.path else None),
+                    dict_path=e.dict_path,
+                ),
             )
-        drop = new_docs.select("doc_id")
-        if deleted_ids is not None:
-            drop = drop.unionByName(
-                deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
-            )
-        dictionary = (
-            e.dictionary.join(drop.distinct(), "doc_id", "left_anti")
-            .unionByName(new_docs.select("doc_id", "value"))
-            .cache()
-        )
-        dictionary.count()
-        if e.dict_path is not None:
-            write_versioned_table(dictionary, e.dict_path)
-            gc_versions(self.spark, e.dict_path, min_age_sec=self.gc_min_age_sec)
-        if versioned:
-            index = read_versioned_index(self.spark, e.path)
-        else:
-            index = read_ngram_index(self.spark, e.path)
-        # stats are NOT carried over: the index just changed, and serving the
-        # prefix plan against the previous doc_terms would be wrong (see
-        # _Entry.stats).  stats_path survives so refresh_stats() can re-arm.
-        self._swap(
-            name,
-            _Entry(
-                dictionary,
-                index,
-                e.config,
-                e.path,
-                owns_dict=True,
-                stats_path=e.stats_path or (f"{e.path}_stats" if e.path else None),
-                dict_path=e.dict_path,
-            ),
-        )
-        if versioned:
-            gc_versions(self.spark, e.path, min_age_sec=self.gc_min_age_sec)
-        return stats
+            if versioned:
+                gc_versions(self.spark, e.path, min_age_sec=self.gc_min_age_sec)
+            return stats
 
     def _load_stats(self, stats_path: str):
         """(IndexStats, path) when persisted planner stats exist at
@@ -291,26 +312,29 @@ class SuggestService:
         over many trickle updates, not per upsert)."""
         from .indexing import write_index_stats
 
-        e = self._get(name)
-        stats_path = e.stats_path or (f"{e.path}_stats" if e.path else None)
-        if stats_path is None:
-            raise ValueError(f"{name!r} has no stats path (RAM entry)")
-        written = write_index_stats(self.spark, e.index, stats_path)
-        stats, _ = self._load_stats(stats_path)
-        self._swap(
-            name,
-            _Entry(
-                e.dictionary,
-                e.index,
-                e.config,
-                e.path,
-                owns_dict=e.owns_dict,
-                stats=stats,
-                stats_path=stats_path,
-                dict_path=e.dict_path,
-            ),
-        )
-        return written
+        with self._mutate:  # see _mutate: never interleave with an upsert
+            e = self._get(name)
+            stats_path = e.stats_path or (f"{e.path}_stats" if e.path else None)
+            if stats_path is None:
+                raise ValueError(f"{name!r} has no stats path (RAM entry)")
+            written = write_index_stats(
+                self.spark, e.index, stats_path, min_age_sec=self.gc_min_age_sec
+            )
+            stats, _ = self._load_stats(stats_path)
+            self._swap(
+                name,
+                _Entry(
+                    e.dictionary,
+                    e.index,
+                    e.config,
+                    e.path,
+                    owns_dict=e.owns_dict,
+                    stats=stats,
+                    stats_path=stats_path,
+                    dict_path=e.dict_path,
+                ),
+            )
+            return written
 
     def _swap(self, name: str, entry: _Entry) -> None:
         with self._lock:

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, IndexConfig
 from ..functions.metrics import Metric
-from .indexing import with_terms
+from .indexing import doc_term_lists, term_document_frequency, with_terms  # noqa: F401
+# term_document_frequency is re-exported here for API continuity — it lives
+# in indexing.py (single source of truth with write_index_stats)
 
 
 def _query_grams(queries: DataFrame, config: IndexConfig, head_only: bool = False) -> DataFrame:
@@ -212,13 +214,6 @@ def suggest_topk_auto(
     return suggest_topk(index_df, queries, metric, alpha, k, config, dictionary)
 
 
-def term_document_frequency(index_df: DataFrame) -> DataFrame:
-    """``(term, df)`` global document frequency over the index — compute once
-    at index-build time and persist alongside it (it is to the suggest path
-    what the rarity table is to blocking)."""
-    return index_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-
 def suggest_topk_prefix(
     index_df: DataFrame,
     queries: DataFrame,
@@ -278,9 +273,7 @@ def suggest_topk_prefix(
     if term_df is None:
         term_df = term_document_frequency(index_df)
     if doc_terms is None:
-        doc_terms = index_df.groupBy("doc_id", "size").agg(
-            F.collect_list("term").alias("terms")
-        )
+        doc_terms = doc_term_lists(index_df)
 
     q = with_terms(queries, "query", config).select(
         "query_id", F.col("size").alias("size_a"), F.col("terms").alias("qterms")

@@ -161,9 +161,9 @@ def service_from_config(spark, config_path: str, base_dir: str | None = None):
     service = SuggestService(spark)
     base = base_dir or os.path.dirname(os.path.abspath(config_path))
 
-    def _disc_descriptions() -> list[dict]:
+    def _descriptions() -> list[dict]:
         with open(config_path) as f:
-            return [d for d in json.load(f) if d.get("driver", "DISC") == "DISC"]
+            return json.load(f)
 
     def _paths(desc: dict) -> tuple[str, str, str]:
         out = os.path.join(base, desc.get("output", "db"))
@@ -177,6 +177,11 @@ def service_from_config(spark, config_path: str, base_dir: str | None = None):
         cfg = index_config_from_description(desc)
         source, index_path, dict_path = _paths(desc)
         dictionary = read_line_dictionary(spark, source)
+        if desc.get("driver", "DISC") == "RAM":
+            # the reference serves RAM descriptions too (AddIndexByDescription,
+            # app.go:110-137) — only its INDEXER skips them; rebuild == re-add
+            service.add_ram_index(desc["name"], dictionary, cfg)
+            return
         service.add_disc_index(desc["name"], dictionary, index_path, cfg, rebuild=rebuild)
         if rebuild:
             service.refresh_stats(desc["name"])
@@ -184,10 +189,10 @@ def service_from_config(spark, config_path: str, base_dir: str | None = None):
                 write_dictionary(dictionary, dict_path)
 
     def reindex_job() -> None:
-        for desc in _disc_descriptions():
+        for desc in _descriptions():
             _register(desc, rebuild=True)
 
-    for desc in _disc_descriptions():
+    for desc in _descriptions():
         _, index_path, _ = _paths(desc)
         _register(desc, rebuild=not fsutil.exists(spark, index_path))
 

@@ -113,6 +113,15 @@ def _registry_meta(
             f"{path} uses the round-2 flat registry layout; migrate it with "
             "compact_registry(spark, path) before ingesting"
         )
+    if any(n.startswith("pfx=") for n in fsutil.list_names(spark, path)):
+        # data without meta = lost/never-written layout record.  NEVER guess:
+        # defaulting n_prefixes here would compute pfx values inconsistent
+        # with the stored ones, silently admitting near-duplicates forever.
+        raise ValueError(
+            f"{path} has pfx= data but no {_META} (crashed maintenance?); "
+            "restore it with compact_registry(spark, path, n_prefixes=<the "
+            "value the registry was created with>)"
+        )
     meta = {
         "n_prefixes": n_prefixes,
         "layout": "pfx-owners-v2",
@@ -167,33 +176,61 @@ def _read_registry(
     return reg
 
 
-def compact_registry(spark: SparkSession, registry_path: str, n_files: int = 8) -> int:
+def compact_registry(
+    spark: SparkSession,
+    registry_path: str,
+    n_files: int = 8,
+    n_prefixes: int | None = None,
+) -> int:
     """Rewrite the registry deduplicated, one file per ``pfx=`` partition.
     foreachBatch retries can duplicate rows (harmless for admission,
     wasteful on disk) and each batch appends small delta files — run this
     periodically, off the ingest path.  Also migrates a round-2 flat
-    registry into the partitioned owners layout.  The compacted frame is
-    pinned with an eager ``localCheckpoint`` because source and target are
-    the same directory.  Returns the registry row count after compaction.
+    registry into the partitioned owners layout, and can RESTORE a lost
+    ``_meta.json`` when the original ``n_prefixes`` is passed explicitly
+    (it is never guessed — see ``_registry_meta``).  Returns the registry
+    row count after compaction.
+
+    Crash safety: on the v2 layout the meta file is (re)written BEFORE the
+    data and the rewrite uses DYNAMIC partition overwrite, which replaces
+    only the ``pfx=`` partitions present in the output and never clears the
+    directory — a crash mid-compaction leaves some partitions compacted and
+    some not (rows possibly duplicated: harmless, admission takes min per
+    bucket) instead of losing the registry or its meta.  Only the one-time
+    LEGACY migration still clears the directory (static overwrite —
+    unavoidable: flat files and ``pfx=`` dirs cannot coexist for partition
+    discovery); run it offline, before any serving depends on the registry.
 
     ``n_files`` caps the shuffle tasks per partitioned write wave (a pfx
     still lands in one file; tiny registries just use fewer tasks)."""
-    if _is_legacy_registry(spark, registry_path):
+    legacy = _is_legacy_registry(spark, registry_path)
+    meta_path = f"{registry_path}/{_META}"
+    if legacy:
         # migration: the id type comes from the files themselves
         reg = spark.read.parquet(registry_path).select("bucket", "doc_id")
         meta = {
-            "n_prefixes": DEFAULT_N_PREFIXES,
+            "n_prefixes": n_prefixes or DEFAULT_N_PREFIXES,
             "layout": "pfx-owners-v2",
             "id_type": reg.schema["doc_id"].dataType.simpleString(),
         }
     else:
-        meta = _registry_meta(spark, registry_path, DEFAULT_N_PREFIXES)
+        names = fsutil.list_names(spark, registry_path)
+        has_pfx = any(n.startswith("pfx=") for n in names)
+        if fsutil.exists(spark, meta_path):
+            meta = json.loads(fsutil.read_text(spark, meta_path))
+        elif has_pfx:
+            if n_prefixes is None:
+                raise ValueError(
+                    f"{registry_path} has pfx= data but no {_META}; pass the "
+                    "registry's original n_prefixes to restore it"
+                )
+            meta = {"n_prefixes": n_prefixes, "layout": "pfx-owners-v2"}
+        else:
+            meta = _registry_meta(spark, registry_path, n_prefixes or DEFAULT_N_PREFIXES)
         id_type = meta.get("id_type")
-        if id_type is None and any(
-            n.startswith("pfx=") for n in fsutil.list_names(spark, registry_path)
-        ):
-            # meta written before id_type existed: recover it from the files
-            # and record it for every later maintenance pass
+        if id_type is None and has_pfx:
+            # meta written before id_type existed (or being restored):
+            # recover it from the files and record it
             id_type = (
                 spark.read.option("basePath", registry_path)
                 .parquet(registry_path)
@@ -206,13 +243,19 @@ def compact_registry(spark: SparkSession, registry_path: str, n_files: int = 8) 
         reg.distinct()
         .withColumn("pfx", _pfx(F.col("bucket"), meta["n_prefixes"]))
         .repartition(n_files, "pfx")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # pin: source partitions are the target
     )
-    reg.write.mode("overwrite").partitionBy("pfx").parquet(registry_path)
-    # the overwrite clears the directory; restore the layout meta
-    fsutil.write_text(
-        spark, f"{registry_path}/{_META}", json.dumps(meta, sort_keys=True)
-    )
+    if legacy:
+        reg.write.mode("overwrite").partitionBy("pfx").parquet(registry_path)
+        fsutil.write_text(spark, meta_path, json.dumps(meta, sort_keys=True))
+    else:
+        fsutil.write_text(spark, meta_path, json.dumps(meta, sort_keys=True))
+        (
+            reg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pfx")
+            .parquet(registry_path)
+        )
     return reg.count()
 
 

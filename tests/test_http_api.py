@@ -145,8 +145,11 @@ def test_sighup_reindex_and_pidfile(spark, tmp_path):
     cfg = _write_config(tmp_path, ["Nissan March"])
     svc, reindex_job = service_from_config(spark, cfg)
     _write_config(tmp_path, ["Nissan March", "Honda Fit"])
-    install_sighup_reindex(reindex_job)
-    os.kill(os.getpid(), signal.SIGHUP)  # delivered synchronously in CPython
+    state = install_sighup_reindex(reindex_job)  # background thread (default)
+    os.kill(os.getpid(), signal.SIGHUP)  # handler runs synchronously; rebuild doesn't
+    assert state["thread"] is not None
+    state["thread"].join(300)
+    assert not state["thread"].is_alive()
     got = svc.suggest("cars", "Honda Fit", __import__(
         "suggest_spark.functions.metrics", fromlist=["JACCARD"]).JACCARD, 0.5, 5)
     assert [v for _, v in got] == ["Honda Fit"]
