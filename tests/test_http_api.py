@@ -153,3 +153,34 @@ def test_sighup_reindex_and_pidfile(spark, tmp_path):
     got = svc.suggest("cars", "Honda Fit", __import__(
         "suggest_spark.functions.metrics", fromlist=["JACCARD"]).JACCARD, 0.5, 5)
     assert [v for _, v in got] == ["Honda Fit"]
+
+
+def test_ram_description_is_served(spark, tmp_path):
+    """A RAM-driver description must be REGISTERED and served, not skipped:
+    the reference's indexer skips RAM dictionaries but its service builds
+    them in memory via AddIndexByDescription (app.go:110-137).  Reindex
+    rebuilds the in-memory entry from the (possibly changed) source."""
+    with open(tmp_path / "cars.dict", "w") as f:
+        f.write("Nissan March\n")
+    desc = [{
+        "driver": "RAM", "name": "ramcars", "nGramSize": 3,
+        "alphabet": ["english", "$"], "source": "cars.dict",
+        "output": "db", "pad": "$", "wrap": ["$", "$"],
+    }]
+    cfg = tmp_path / "config.json"
+    with open(cfg, "w") as f:
+        json.dump(desc, f)
+
+    svc, reindex_job = service_from_config(spark, str(cfg))
+    from suggest_spark.functions.metrics import JACCARD
+
+    got = svc.suggest("ramcars", "Nissan March", JACCARD, 0.5, 5)
+    assert [v for _, v in got] == ["Nissan March"]
+    # no DISC artifacts were written for the RAM entry
+    assert not os.path.exists(tmp_path / "db" / "ramcars_index")
+
+    with open(tmp_path / "cars.dict", "w") as f:
+        f.write("Nissan March\nHonda Fit\n")
+    reindex_job()
+    got = svc.suggest("ramcars", "Honda Fit", JACCARD, 0.5, 5)
+    assert [v for _, v in got] == ["Honda Fit"]

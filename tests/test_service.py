@@ -170,3 +170,38 @@ def test_upsert_invalidates_stats_on_disk_for_later_boots(spark, tmp_path):
     assert [v for _, v in svc2.suggest("cars", "Nissan Micra", JACCARD, 0.5, 1)] == [
         "Nissan Micra"
     ]
+
+
+def test_trickle_upserts_keep_dictionary_lineage_bounded(spark, tmp_path):
+    """Each upsert must serve a dictionary with a FLAT plan (re-read of the
+    persisted table, or a localCheckpoint when nothing is persisted) — not
+    the previous in-memory dictionary with another join+union chained on.
+    An unbounded chain recomputes every historical upsert on cache eviction
+    and eventually overflows the driver's plan budget under trickle updates."""
+    from jobs.indexer_job import index_config_from_description, run_index_job
+    from suggest_spark.functions.metrics import JACCARD
+
+    with open(tmp_path / "cars.dict", "w") as f:
+        f.write("Nissan March\nNissan Juke\n")
+    desc = {
+        "driver": "DISC", "name": "cars", "nGramSize": 3,
+        "alphabet": ["english", "$"], "source": "cars.dict",
+        "output": "db", "pad": "$", "wrap": ["$", "$"],
+    }
+    run_index_job(spark, desc, str(tmp_path))
+    svc = SuggestService(spark)
+    svc.load_disc_index("cars", str(tmp_path / "db"), index_config_from_description(desc))
+
+    for i, name in enumerate(["Nissan Micra", "Nissan Note", "Nissan Murano"]):
+        new = spark.createDataFrame([(100 + i, name)], "doc_id long, value string")
+        svc.upsert_disc_index("cars", new)
+
+    plan = (
+        svc._get("cars")
+        .dictionary._jdf.queryExecution().analyzed().toString()
+    )
+    # flat re-read of the versioned table: the anti-join/union upsert
+    # arithmetic ran once at write time and must NOT survive into serving
+    assert "Join" not in plan and "Union" not in plan
+    got = [v for _, v in svc.suggest("cars", "Nissan Murano", JACCARD, 0.5, 1)]
+    assert got == ["Nissan Murano"]

@@ -398,3 +398,88 @@ def test_string_id_registry_compacts_and_rejects_mismatched_stream(spark, tmp_pa
             near_dup_ingest(s2, registry, lambda df, bid: None).awaitTermination(180)
         except Exception as e:  # streaming wraps the ValueError
             raise RuntimeError(f"id_type rejection: {e}") from e
+
+
+def test_meta_loss_refuses_to_guess_and_restores_explicitly(spark, tmp_path):
+    """A registry whose _meta.json was lost (crashed maintenance, manual
+    mishap) must REFUSE ingestion and maintenance rather than default
+    n_prefixes — guessed prefixes would partition the same buckets a second
+    way and silently admit near-duplicates forever.  compact_registry with
+    the original n_prefixes restores the meta; admission then works again."""
+    import os
+
+    import pytest
+
+    from suggest_spark.streaming.dedup import compact_registry
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = r["dup_of"]
+
+    _write_jsonl(ddir / "b1.json", [{"doc_id": 1, "text": DOC_A}])
+    stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+    near_dup_ingest(stream, registry, sink).awaitTermination(180)
+
+    os.remove(os.path.join(registry, "_meta.json"))
+
+    # maintenance without the original prefix count: refuse, with guidance
+    with pytest.raises(ValueError, match="n_prefixes"):
+        compact_registry(spark, registry)
+    # a NEW ingest against the wounded registry must also refuse
+    ddir2 = tmp_path / "docs2"
+    ddir2.mkdir()
+    _write_jsonl(ddir2 / "b2.json", [{"doc_id": 9, "text": DOC_A}])
+    stream2 = spark.readStream.schema("doc_id long, text string").json(str(ddir2))
+    with pytest.raises(Exception, match="_meta.json|n_prefixes"):
+        near_dup_ingest(stream2, registry, sink).awaitTermination(180)
+
+    # explicit restore with the value the registry was created with (default)
+    from suggest_spark.streaming.dedup import DEFAULT_N_PREFIXES
+
+    compact_registry(spark, registry, n_prefixes=DEFAULT_N_PREFIXES)
+    assert os.path.exists(os.path.join(registry, "_meta.json"))
+    meta = json.loads(open(os.path.join(registry, "_meta.json")).read())
+    assert meta["n_prefixes"] == DEFAULT_N_PREFIXES and meta["id_type"] == "bigint"
+
+    results.clear()
+    ddir3 = tmp_path / "docs3"
+    ddir3.mkdir()
+    _write_jsonl(ddir3 / "b3.json", [{"doc_id": 9, "text": DOC_A}])
+    stream3 = spark.readStream.schema("doc_id long, text string").json(str(ddir3))
+    near_dup_ingest(stream3, registry, sink).awaitTermination(180)
+    assert results[9] == 1  # original owner survived the restore
+
+
+def test_v2_compaction_preserves_meta(spark, tmp_path):
+    """v2-layout compaction must never pass through a window where the
+    registry directory is cleared: the meta file is rewritten up front and
+    the data uses dynamic partition overwrite, so _meta.json and untouched
+    pfx= partitions survive a crash mid-write."""
+    import os
+
+    from suggest_spark.streaming.dedup import compact_registry
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    _write_jsonl(
+        ddir / "b1.json",
+        [{"doc_id": 1, "text": DOC_A}, {"doc_id": 2, "text": DOC_B}],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+    near_dup_ingest(stream, registry, lambda b, i: None).awaitTermination(180)
+
+    meta_before = open(os.path.join(registry, "_meta.json")).read()
+    rows_before = {
+        (r["bucket"], r["doc_id"]) for r in spark.read.parquet(registry).collect()
+    }
+    compact_registry(spark, registry, n_files=2)
+    assert open(os.path.join(registry, "_meta.json")).read() == meta_before
+    assert {
+        (r["bucket"], r["doc_id"]) for r in spark.read.parquet(registry).collect()
+    } == rows_before
