@@ -42,36 +42,47 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
     delivers signals on the main thread — Flask's accept loop — so a
     synchronous multi-minute Spark rebuild there would freeze all new
     connections for its duration (the reference reindexes in a goroutine
-    while net/http keeps serving).  A second SIGHUP while one rebuild is in
-    flight is skipped (the Go signal channel coalesces the same way); the
-    service's own mutation lock already serializes overlapping mutators.
+    while net/http keeps serving).  SIGHUPs arriving while a rebuild is in
+    flight COALESCE into exactly one follow-up run — the Go buffered signal
+    channel leaves one signal pending, so a config change landing mid-rebuild
+    is always picked up afterward, never dropped.  The service's own mutation
+    lock additionally serializes overlapping mutators.
 
     Returns ``{"thread": last Thread or None}`` so tests/operators can join.
     """
     import threading
 
     state: dict = {"thread": None}
-    in_flight = threading.Lock()
+    lock = threading.Lock()  # guards running/pending
+    flags = {"running": False, "pending": False}
 
-    def _run():
-        try:
-            reindex_job()
-            print("Reindex done!")
-        except Exception as e:  # the Go loop logs and keeps serving
-            print(f"Fail to reload index {e}")
-        finally:
-            in_flight.release()
+    def _worker():
+        while True:
+            try:
+                reindex_job()
+                print("Reindex done!")
+            except Exception as e:  # the Go loop logs and keeps serving
+                print(f"Fail to reload index {e}")
+            with lock:
+                if flags["pending"]:  # SIGHUP(s) arrived mid-rebuild
+                    flags["pending"] = False
+                    continue  # one follow-up run, however many signals
+                flags["running"] = False
+                return
 
     def _on_hup(signum, frame):
-        if not in_flight.acquire(blocking=False):
-            print("Reindex already in progress, skipping")
-            return
+        with lock:
+            if flags["running"]:
+                flags["pending"] = True
+                print("Reindex already in progress, queued a follow-up")
+                return
+            flags["running"] = True
         if background:
-            t = threading.Thread(target=_run, daemon=True, name="sighup-reindex")
+            t = threading.Thread(target=_worker, daemon=True, name="sighup-reindex")
             state["thread"] = t
             t.start()
         else:  # tests: deterministic synchronous path
-            _run()
+            _worker()
 
     signal.signal(signal.SIGHUP, _on_hup)
     return state

@@ -28,11 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from suggest_spark.config import IndexConfig
 from suggest_spark.operators.indexing import (
     build_ngram_index,
+    invalidate_index_stats,
     write_index_stats,
     write_ngram_index,
 )
 from suggest_spark.plans.session import get_spark
-from suggest_spark.sources import fsutil
 from suggest_spark.sources.dictionary import read_line_dictionary, write_dictionary
 
 
@@ -64,10 +64,8 @@ def run_index_job(spark, desc: dict, base_dir: str) -> dict | None:
     index_path = os.path.join(out, f"{desc['name']}_index")
     stats_path = f"{index_path}_stats"
     # a RE-run mutates the index in place: invalidate any stats from the
-    # previous run BEFORE touching it (write_index_stats freshness contract
-    # — a crash between the index write and the stats rewrite must leave
-    # missing stats, never stale ones armed against the new index)
-    fsutil.delete(spark, f"{stats_path}/stats.json", recursive=False)
+    # previous run BEFORE touching it
+    invalidate_index_stats(spark, stats_path)
     index = build_ngram_index(dictionary, config=cfg)
     write_ngram_index(index, index_path)
     t_index = time.time() - t0

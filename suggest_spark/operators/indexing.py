@@ -104,6 +104,19 @@ def doc_term_lists(index_df: DataFrame) -> DataFrame:
     return index_df.groupBy("doc_id", "size").agg(F.collect_list("term").alias("terms"))
 
 
+def invalidate_index_stats(spark, stats_path: str) -> None:
+    """Remove the stats pointer file so no loader re-arms statistics that
+    predate an index mutation (the artifact dirs stay readable for in-flight
+    queries; the next :func:`write_index_stats` GCs them).  Call BEFORE
+    mutating the index: a crash between the index write and the stats
+    rewrite must leave MISSING stats (plain plan, always correct), never
+    stale ones armed against the new index.  Single source of the freshness
+    contract — the service layer and the indexer job both call this."""
+    from ..sources import fsutil
+
+    fsutil.delete(spark, f"{stats_path}/stats.json", recursive=False)
+
+
 def write_index_stats(
     spark, index_df: DataFrame, path: str, min_age_sec: float = 0.0
 ) -> dict:
@@ -172,16 +185,20 @@ def write_index_stats(
     # grace GC: current + previous stay readable, older versions go — with
     # the same TIME floor the index GC has (gc_versions min_age_sec): two
     # quick refreshes must not delete artifact dirs an in-flight prefix-plan
-    # query is still scanning.  The serving layer passes its gc_min_age_sec;
+    # query is still scanning.  Age is measured from when a version was
+    # SUPERSEDED (its successor's creation time), never from its own
+    # creation: a version that served for an hour is not "old" the moment a
+    # refresh replaces it.  The serving layer passes its gc_min_age_sec;
     # fresh builds with no possible readers use the 0 default.
     import time as _time
 
     now = _time.time()
-    for old in versions[:-1]:
-        old_dir = f"{path}/v={old}"
-        if min_age_sec > 0 and (now - fsutil.mtime(spark, old_dir)) < min_age_sec:
-            continue
-        fsutil.delete(spark, old_dir)
+    for i, old in enumerate(versions[:-1]):
+        if min_age_sec > 0:
+            superseded_at = fsutil.mtime(spark, f"{path}/v={versions[i + 1]}")
+            if (now - superseded_at) < min_age_sec:
+                continue
+        fsutil.delete(spark, f"{path}/v={old}")
     return stats
 
 

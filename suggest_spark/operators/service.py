@@ -122,11 +122,19 @@ class SuggestService:
             gc_versions,
             is_versioned,
             read_versioned_index,
+            read_versioned_table,
             write_versioned_index,
+            write_versioned_table,
         )
 
         with self._mutate:
             stats_path = f"{path}_stats"
+            # service-owned dictionary sibling, created by upsert_disc_index
+            # for entries registered without a dictionary artifact — when it
+            # exists, the on-disk index includes persisted upserts the
+            # caller's dictionary frame knows nothing about
+            sib = f"{path}_dictionary"
+            has_sib = is_versioned(self.spark, sib)
             if rebuild:
                 # stats describe the OLD snapshot — invalidate on disk BEFORE
                 # the index changes (crash-safe: worst case is missing stats =
@@ -135,15 +143,35 @@ class SuggestService:
                 write_versioned_index(build_ngram_index(dictionary, config=config), path)
                 index = read_versioned_index(self.spark, path)
                 stats = None
+                if has_sib:
+                    # the rebuild's dictionary is the new truth — publish it
+                    # over the stale sibling (versioned swap + grace GC, so
+                    # in-flight queries on the old entry keep their snapshot);
+                    # a later upsert/boot must never merge into the old corpus
+                    write_versioned_table(dictionary, sib)
+                    gc_versions(self.spark, sib, min_age_sec=self.gc_min_age_sec)
             else:
                 if is_versioned(self.spark, path):
                     index = read_versioned_index(self.spark, path)
                 else:  # pre-versioned flat layout (bare size=* dirs)
                     index = read_ngram_index(self.spark, path)
                 stats, _ = self._load_stats(stats_path)
+                if has_sib:
+                    # serve the persisted post-upsert dictionary, not the
+                    # caller's pre-upsert frame — else upserted doc_ids
+                    # resolve to null values after a restart
+                    dictionary = read_versioned_table(self.spark, sib)
             self._swap(
                 name,
-                _Entry(dictionary, index, config, path, stats=stats, stats_path=stats_path),
+                _Entry(
+                    dictionary,
+                    index,
+                    config,
+                    path,
+                    stats=stats,
+                    stats_path=stats_path,
+                    dict_path=sib if has_sib else None,
+                ),
             )
             if rebuild:
                 gc_versions(self.spark, path, min_age_sec=self.gc_min_age_sec)
@@ -247,18 +275,21 @@ class SuggestService:
             merged = e.dictionary.join(drop.distinct(), "doc_id", "left_anti").unionByName(
                 new_docs.select("doc_id", "value")
             )
-            if e.dict_path is not None:
-                # persist, then serve the RE-READ — a lineage cut: chaining
-                # each upsert's join/union onto the previous in-memory
-                # dictionary grows the plan unboundedly across trickle
-                # upserts (a cache eviction would recompute the whole chain)
-                write_versioned_table(merged, e.dict_path)
-                gc_versions(self.spark, e.dict_path, min_age_sec=self.gc_min_age_sec)
-                dictionary = read_versioned_table(self.spark, e.dict_path).cache()
-            else:
-                # no persistence target (caller owns the dictionary of
-                # record): localCheckpoint cuts the lineage instead
-                dictionary = merged.localCheckpoint(eager=False)
+            # persist, then serve the RE-READ — a lineage cut: chaining each
+            # upsert's join/union onto the previous in-memory dictionary
+            # grows the plan unboundedly across trickle upserts (a cache
+            # eviction would recompute the whole chain).  Entries registered
+            # without a dictionary artifact (add_disc_index) get a
+            # service-owned versioned sibling at {path}_dictionary: a cache
+            # can't cut lineage and localCheckpoint blocks die with an
+            # executor — only a persisted table survives both, and it is
+            # what makes the upsert durable across restarts (the on-disk
+            # index keeps upserted docs; serving them against a pre-upsert
+            # dictionary would resolve their values to null).
+            dict_path = e.dict_path or f"{e.path}_dictionary"
+            write_versioned_table(merged, dict_path)
+            gc_versions(self.spark, dict_path, min_age_sec=self.gc_min_age_sec)
+            dictionary = read_versioned_table(self.spark, dict_path).cache()
             dictionary.count()
             if versioned:
                 index = read_versioned_index(self.spark, e.path)
@@ -276,7 +307,7 @@ class SuggestService:
                     e.path,
                     owns_dict=True,
                     stats_path=e.stats_path or (f"{e.path}_stats" if e.path else None),
-                    dict_path=e.dict_path,
+                    dict_path=dict_path,
                 ),
             )
             if versioned:
@@ -298,12 +329,9 @@ class SuggestService:
         return None, stats_path
 
     def _invalidate_stats(self, stats_path: str) -> None:
-        """Remove the stats pointer file so no loader re-arms stats that
-        predate an index mutation (the artifact dirs stay for in-flight
-        readers; the next refresh/write GCs them)."""
-        from ..sources import fsutil
+        from .indexing import invalidate_index_stats  # the freshness contract
 
-        fsutil.delete(self.spark, f"{stats_path}/stats.json", recursive=False)
+        invalidate_index_stats(self.spark, stats_path)
 
     def refresh_stats(self, name: str) -> dict:
         """Recompute and persist planner statistics from the entry's CURRENT

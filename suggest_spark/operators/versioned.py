@@ -282,10 +282,20 @@ def gc_versions(
         return min_age_sec > 0 and (now - fsutil.mtime(spark, path)) < min_age_sec
 
     versions = list_manifest_versions(spark, base)
+
+    def _superseded_recently(i: int) -> bool:
+        # age since SUPERSEDED, not since created: a snapshot that served
+        # for an hour still needs the full grace window after the swap that
+        # replaced it — an in-flight query planned against it moments before
+        # the swap.  Supersession time = the successor manifest's creation.
+        return i + 1 < len(versions) and _young(
+            _manifest_path(base, versions[i + 1])
+        )
+
     kept_manifests = [
         m
-        for m in versions
-        if m in versions[-keep_manifests:] or _young(_manifest_path(base, m))
+        for i, m in enumerate(versions)
+        if m in versions[-keep_manifests:] or _superseded_recently(i)
     ]
     referenced: set[int] = set(kept_manifests)
     for m in kept_manifests:
@@ -301,8 +311,13 @@ def gc_versions(
             name.startswith("size=") or name.endswith(".parquet") or name == "_SUCCESS"
         ) and len(versions) >= keep_manifests:
             # pre-versioned flat data (size= dirs for the index, bare parquet
-            # files for a table) — version 0, swept once ≥2 snapshots old
-            if not _young(f"{base}/{name}"):
+            # files for a table) — version 0, swept once ≥2 snapshots old AND
+            # the manifest that pushed it out of the grace window has existed
+            # for the full age floor (flat dirs are old by creation time, so
+            # their own mtime says nothing about when they stopped serving)
+            if not _young(f"{base}/{name}") and not _young(
+                _manifest_path(base, versions[-keep_manifests])
+            ):
                 fsutil.delete(spark, f"{base}/{name}")
     for m in versions:
         if m not in kept_manifests:

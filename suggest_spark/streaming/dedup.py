@@ -108,12 +108,13 @@ def _registry_meta(
                 f"this stream's id column is {id_type!r}"
             )
         return meta
-    if _is_legacy_registry(spark, path):
+    names = fsutil.list_names(spark, path)  # one listing feeds both checks
+    if _is_legacy_registry(spark, path, names):
         raise ValueError(
             f"{path} uses the round-2 flat registry layout; migrate it with "
             "compact_registry(spark, path) before ingesting"
         )
-    if any(n.startswith("pfx=") for n in fsutil.list_names(spark, path)):
+    if any(n.startswith("pfx=") for n in names):
         # data without meta = lost/never-written layout record.  NEVER guess:
         # defaulting n_prefixes here would compute pfx values inconsistent
         # with the stored ones, silently admitting near-duplicates forever.
@@ -131,11 +132,15 @@ def _registry_meta(
     return meta
 
 
-def _is_legacy_registry(spark: SparkSession, path: str) -> bool:
+def _is_legacy_registry(
+    spark: SparkSession, path: str, names: list[str] | None = None
+) -> bool:
     """True for a round-2 flat layout: data files at the root, no ``pfx=``
     dirs and no meta.  (Mixed layouts in one directory would break Spark's
-    partition discovery — callers must migrate via :func:`compact_registry`.)"""
-    names = fsutil.list_names(spark, path)
+    partition discovery — callers must migrate via :func:`compact_registry`.)
+    Pass a pre-fetched ``names`` listing to avoid a second listStatus RPC."""
+    if names is None:
+        names = fsutil.list_names(spark, path)
     if not names or _META in names or any(n.startswith("pfx=") for n in names):
         return False
     return any(n.endswith(".parquet") for n in names)

@@ -184,3 +184,37 @@ def test_ram_description_is_served(spark, tmp_path):
     reindex_job()
     got = svc.suggest("ramcars", "Honda Fit", JACCARD, 0.5, 5)
     assert [v for _, v in got] == ["Honda Fit"]
+
+
+def test_sighup_coalesces_to_one_followup_run():
+    """SIGHUPs landing while a rebuild is in flight must coalesce into
+    exactly ONE follow-up run — never zero (a config change mid-rebuild
+    would be silently dropped) and never N (signal storms must not queue
+    N rebuilds).  Matches the Go buffered-signal-channel behavior."""
+    import threading
+    import time
+
+    from jobs.http_service_job import install_sighup_reindex
+
+    runs = []
+    release = threading.Event()
+    started = threading.Event()
+
+    def reindex_job():
+        runs.append(time.time())
+        started.set()
+        release.wait(60)
+
+    state = install_sighup_reindex(reindex_job)
+    os.kill(os.getpid(), signal.SIGHUP)
+    assert started.wait(30)
+    # three more signals while run #1 is blocked: fold into ONE follow-up
+    for _ in range(3):
+        os.kill(os.getpid(), signal.SIGHUP)
+    release.set()
+    deadline = time.time() + 30
+    while len(runs) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    state["thread"].join(30)
+    assert not state["thread"].is_alive()
+    assert len(runs) == 2  # initial + exactly one coalesced follow-up

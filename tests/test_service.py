@@ -205,3 +205,44 @@ def test_trickle_upserts_keep_dictionary_lineage_bounded(spark, tmp_path):
     assert "Join" not in plan and "Union" not in plan
     got = [v for _, v in svc.suggest("cars", "Nissan Murano", JACCARD, 0.5, 1)]
     assert got == ["Nissan Murano"]
+
+
+def test_upsert_without_dict_artifact_survives_restart(spark, tmp_path):
+    """Entries registered via add_disc_index (no dictionary artifact) get a
+    service-owned versioned dictionary sibling on upsert: the on-disk index
+    keeps upserted docs across restarts, so serving them against the
+    caller's pre-upsert dictionary frame would resolve their values to
+    null.  A restart that re-opens the entry must serve the post-upsert
+    values; a restart that REBUILDS must reset the sibling to the caller's
+    corpus."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(0, "Nissan March"), (1, "Toyota Corolla")], "doc_id long, value string"
+    )
+    svc = SuggestService(spark)
+    svc.add_disc_index("cars", base, path)
+    new = spark.createDataFrame([(7, "Mazda Demio")], "doc_id long, value string")
+    svc.upsert_disc_index("cars", new)
+
+    # restart: fresh service re-opens the path with the PRE-upsert frame
+    svc2 = SuggestService(spark)
+    svc2.add_disc_index("cars", base, path, rebuild=False)
+    got = svc2.suggest("cars", "mazda de", JACCARD, 0.3, 3)
+    assert [v for _, v in got] == ["Mazda Demio"]  # value, not null
+
+    # restart with REBUILD: caller's corpus is the new truth everywhere —
+    # a later upsert must merge into it, not into the stale sibling
+    svc3 = SuggestService(spark)
+    svc3.add_disc_index("cars", base, path, rebuild=True)
+    assert svc3.suggest("cars", "mazda de", JACCARD, 0.3, 3) == []
+    svc3.upsert_disc_index(
+        "cars",
+        spark.createDataFrame([(9, "Honda Fit")], "doc_id long, value string"),
+    )
+    vals = {
+        v
+        for _, v in svc3.suggest("cars", "honda fit", JACCARD, 0.1, 5)
+    }
+    assert "Honda Fit" in vals and "Mazda Demio" not in vals

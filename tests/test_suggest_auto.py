@@ -164,3 +164,35 @@ def test_concurrent_prefix_queries_during_stats_refresh(spark, stats_fixture):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_stats_gc_age_floor_measures_supersession_not_creation(spark, tmp_path):
+    """A stats version that served for a long time is NOT 'old' the moment a
+    refresh supersedes it: the GC age floor must be measured from the
+    successor's creation, or two quick refreshes delete artifact dirs an
+    in-flight prefix-plan query planned against moments earlier."""
+    import os
+    import time
+
+    from suggest_spark.operators.indexing import build_ngram_index
+
+    path = str(tmp_path / "stats")
+    dictionary = spark.createDataFrame(
+        [(0, "nissan march"), (1, "toyota corolla")], "doc_id long, value string"
+    )
+    index = build_ngram_index(dictionary)
+
+    write_index_stats(spark, index, path)  # v=1
+    # v=1 is ANCIENT by creation time (served for 10 simulated minutes)
+    old = time.time() - 600
+    os.utime(f"{path}/v=1", (old, old))
+
+    write_index_stats(spark, index, path, min_age_sec=300)  # v=2 supersedes v=1 NOW
+    write_index_stats(spark, index, path, min_age_sec=300)  # v=3, quick refresh
+
+    # v=1 was superseded seconds ago: creation-age 600s must NOT delete it
+    assert os.path.isdir(f"{path}/v=1")
+    # no floor: everything but current + previous goes
+    write_index_stats(spark, index, path)  # v=4, min_age_sec=0
+    assert not os.path.isdir(f"{path}/v=1") and not os.path.isdir(f"{path}/v=2")
+    assert os.path.isdir(f"{path}/v=3") and os.path.isdir(f"{path}/v=4")
