@@ -53,22 +53,34 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
     import threading
 
     state: dict = {"thread": None}
-    lock = threading.Lock()  # guards running/pending
+    # RLock, not Lock: CPython may deliver a second SIGHUP's handler at a
+    # bytecode boundary INSIDE the first handler's critical section, on the
+    # same main thread — a non-reentrant lock would self-deadlock the accept
+    # loop.  Re-entry is harmless (single thread mutating flags); the RLock
+    # still excludes the worker thread.
+    lock = threading.RLock()  # guards running/pending
     flags = {"running": False, "pending": False}
 
     def _worker():
-        while True:
-            try:
-                reindex_job()
-                print("Reindex done!")
-            except Exception as e:  # the Go loop logs and keeps serving
-                print(f"Fail to reload index {e}")
+        try:
+            while True:
+                try:
+                    reindex_job()
+                    print("Reindex done!")
+                except Exception as e:  # the Go loop logs and keeps serving
+                    print(f"Fail to reload index {e}")
+                with lock:
+                    if flags["pending"]:  # SIGHUP(s) arrived mid-rebuild
+                        flags["pending"] = False
+                        continue  # one follow-up run, however many signals
+                    flags["running"] = False
+                    return
+        finally:
+            # BaseException safety (SystemExit/KeyboardInterrupt escape the
+            # except above): never leave running=True with no worker alive,
+            # or every later SIGHUP queues into a void forever
             with lock:
-                if flags["pending"]:  # SIGHUP(s) arrived mid-rebuild
-                    flags["pending"] = False
-                    continue  # one follow-up run, however many signals
                 flags["running"] = False
-                return
 
     def _on_hup(signum, frame):
         with lock:

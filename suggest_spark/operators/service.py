@@ -140,16 +140,22 @@ class SuggestService:
                 # the index changes (crash-safe: worst case is missing stats =
                 # plain plan, never stale doc_terms feeding the prefix verify)
                 self._invalidate_stats(stats_path)
-                write_versioned_index(build_ngram_index(dictionary, config=config), path)
-                index = read_versioned_index(self.spark, path)
-                stats = None
                 if has_sib:
                     # the rebuild's dictionary is the new truth — publish it
                     # over the stale sibling (versioned swap + grace GC, so
                     # in-flight queries on the old entry keep their snapshot);
-                    # a later upsert/boot must never merge into the old corpus
+                    # a later upsert/boot must never merge into the old
+                    # corpus.  Ordering: sibling BEFORE index, same rule as
+                    # stats — a crash in between leaves the new dictionary
+                    # against the old index, where removed docs resolve to
+                    # NULL values (visible, retry-healed by re-running the
+                    # rebuild); index-first would serve the old dictionary's
+                    # stale VALUES against the new index, silently wrong.
                     write_versioned_table(dictionary, sib)
                     gc_versions(self.spark, sib, min_age_sec=self.gc_min_age_sec)
+                write_versioned_index(build_ngram_index(dictionary, config=config), path)
+                index = read_versioned_index(self.spark, path)
+                stats = None
             else:
                 if is_versioned(self.spark, path):
                     index = read_versioned_index(self.spark, path)
@@ -232,14 +238,15 @@ class SuggestService:
         replaced.  Flat pre-versioned entries fall back to the legacy
         in-place :func:`upsert_ngram_index` (NOT reader-isolated).
 
-        Durability: entries with a ``dict_path`` (load_disc_index boots)
-        also persist the merged dictionary there (versioned full-replace) —
-        index and dictionary must change TOGETHER or a restart serves
-        upserted docs with null values.  A crash between the index write
-        and the dictionary write leaves exactly that transient state; the
-        upsert is idempotent, so retrying it heals.  Entries whose
-        dictionary was passed in by the caller (add_disc_index) leave
-        dictionary persistence to the caller."""
+        Durability: the merged dictionary is ALWAYS persisted (versioned
+        full-replace) — to the entry's ``dict_path`` (load_disc_index
+        boots), or to a service-owned sibling at ``{path}_dictionary`` for
+        entries registered with a caller dictionary (add_disc_index), which
+        later re-opens prefer over the caller's frame.  Index and
+        dictionary must change TOGETHER or a restart serves upserted docs
+        with null values.  A crash between the index write and the
+        dictionary write leaves exactly that transient state; the upsert is
+        idempotent, so retrying it heals."""
         from .indexing import upsert_ngram_index
         from .versioned import (
             gc_versions,
