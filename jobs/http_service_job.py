@@ -62,6 +62,7 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
     flags = {"running": False, "pending": False}
 
     def _worker():
+        completed = False
         try:
             while True:
                 try:
@@ -74,13 +75,18 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
                         flags["pending"] = False
                         continue  # one follow-up run, however many signals
                     flags["running"] = False
+                    completed = True
                     return
         finally:
             # BaseException safety (SystemExit/KeyboardInterrupt escape the
             # except above): never leave running=True with no worker alive,
-            # or every later SIGHUP queues into a void forever
-            with lock:
-                flags["running"] = False
+            # or every later SIGHUP queues into a void forever.  Guarded by
+            # `completed`: after a normal exit a new SIGHUP may already have
+            # started the NEXT worker — blindly resetting running here would
+            # let a further signal spawn a second concurrent worker.
+            if not completed:
+                with lock:
+                    flags["running"] = False
 
     def _on_hup(signum, frame):
         with lock:
