@@ -179,8 +179,12 @@ def write_index_stats(
         "max_df": int(t["max_df"] or 0),
         "delta_max": int(d["delta_max"] or 0),
     }
-    fsutil.write_text(
-        spark, f"{path}/stats.json", json.dumps({**stats, "v": v}, sort_keys=True)
+    # atomic publish: a cross-process reader racing this refresh sees the
+    # old stats, the new stats, or (briefly, HDFS replace) none — never a
+    # torn file that would make read_index_stats raise instead of fall back
+    fsutil.publish_text_atomic(
+        spark, f"{path}/stats.json", json.dumps({**stats, "v": v}, sort_keys=True),
+        overwrite=True,
     )
     # grace GC: current + previous stay readable, older versions go — with
     # the same TIME floor the index GC has (gc_versions min_age_sec): two

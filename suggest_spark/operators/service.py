@@ -123,8 +123,8 @@ class SuggestService:
             is_versioned,
             read_versioned_index,
             read_versioned_table,
+            write_versioned_bucketed_table,
             write_versioned_index,
-            write_versioned_table,
         )
 
         with self._mutate:
@@ -151,7 +151,10 @@ class SuggestService:
                     # NULL values (visible, retry-healed by re-running the
                     # rebuild); index-first would serve the old dictionary's
                     # stale VALUES against the new index, silently wrong.
-                    write_versioned_table(dictionary, sib)
+                    # Bucketed layout so later trickle upserts copy-on-write
+                    # only touched buckets (an existing manifest's n_buckets
+                    # is reused inside the writer).
+                    write_versioned_bucketed_table(dictionary, sib)
                     gc_versions(self.spark, sib, min_age_sec=self.gc_min_age_sec)
                 write_versioned_index(build_ngram_index(dictionary, config=config), path)
                 index = read_versioned_index(self.spark, path)
@@ -238,8 +241,10 @@ class SuggestService:
         replaced.  Flat pre-versioned entries fall back to the legacy
         in-place :func:`upsert_ngram_index` (NOT reader-isolated).
 
-        Durability: the merged dictionary is ALWAYS persisted (versioned
-        full-replace) — to the entry's ``dict_path`` (load_disc_index
+        Durability: the merged dictionary is ALWAYS persisted (versioned,
+        key-bucketed: only buckets holding a changed doc_id are rewritten,
+        ``upsert_versioned_bucketed_table``) — to the entry's ``dict_path``
+        (load_disc_index
         boots), or to a service-owned sibling at ``{path}_dictionary`` for
         entries registered with a caller dictionary (add_disc_index), which
         later re-opens prefer over the caller's frame.  Index and
@@ -251,10 +256,12 @@ class SuggestService:
         from .versioned import (
             gc_versions,
             is_versioned,
+            read_manifest,
             read_versioned_index,
             read_versioned_table,
+            upsert_versioned_bucketed_table,
             upsert_versioned_index,
-            write_versioned_table,
+            write_versioned_bucketed_table,
         )
 
         with self._mutate:
@@ -274,14 +281,6 @@ class SuggestService:
                 stats = upsert_ngram_index(
                     self.spark, e.path, new_docs, e.config, deleted_ids
                 )
-            drop = new_docs.select("doc_id")
-            if deleted_ids is not None:
-                drop = drop.unionByName(
-                    deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
-                )
-            merged = e.dictionary.join(drop.distinct(), "doc_id", "left_anti").unionByName(
-                new_docs.select("doc_id", "value")
-            )
             # persist, then serve the RE-READ — a lineage cut: chaining each
             # upsert's join/union onto the previous in-memory dictionary
             # grows the plan unboundedly across trickle upserts (a cache
@@ -293,8 +292,38 @@ class SuggestService:
             # what makes the upsert durable across restarts (the on-disk
             # index keeps upserted docs; serving them against a pre-upsert
             # dictionary would resolve their values to null).
+            #
+            # BUCKETED copy-on-write (round 4): once the sibling is in the
+            # bucketed layout, a trickle upsert rewrites only the buckets
+            # holding a changed doc_id — the index side's per-partition
+            # economics, no more O(dictionary) rewrite per update.  A
+            # missing / flat / round-3-unpartitioned sibling pays ONE full
+            # bucketed write of the merged dictionary (seeded from the
+            # served frame) and is incremental ever after.
             dict_path = e.dict_path or f"{e.path}_dictionary"
-            write_versioned_table(merged, dict_path)
+            dict_bucketed = False
+            if is_versioned(self.spark, dict_path):
+                try:
+                    dict_bucketed = "n_buckets" in read_manifest(self.spark, dict_path)
+                except (FileNotFoundError, ValueError):
+                    dict_bucketed = False
+            if dict_bucketed:
+                upsert_versioned_bucketed_table(
+                    self.spark,
+                    dict_path,
+                    new_docs.select("doc_id", "value"),
+                    deleted_keys=deleted_ids,
+                )
+            else:
+                drop = new_docs.select("doc_id")
+                if deleted_ids is not None:
+                    drop = drop.unionByName(
+                        deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_id"))
+                    )
+                merged = e.dictionary.join(
+                    drop.distinct(), "doc_id", "left_anti"
+                ).unionByName(new_docs.select("doc_id", "value"))
+                write_versioned_bucketed_table(merged, dict_path)
             gc_versions(self.spark, dict_path, min_age_sec=self.gc_min_age_sec)
             dictionary = read_versioned_table(self.spark, dict_path).cache()
             dictionary.count()
@@ -435,3 +464,51 @@ class SuggestService:
             e.index, q, topk, e.config, dictionary=e.dictionary
         ).collect()
         return [r["value"] for r in rows]
+
+    # -- batched queries (one Spark job for N concurrent requests) ----------
+    #
+    # The per-request path above runs createDataFrame → job → collect per
+    # call (~0.5-3 s on a shared driver).  These take a LIST of query
+    # strings and run the identical plan ONCE over a query_id-keyed frame —
+    # the suggest/autocomplete operators are batch-shaped already (their
+    # queries side is a DataFrame), so a batch costs one job regardless of
+    # N.  serving/coalesce.py folds concurrent HTTP requests into these.
+
+    def suggest_batch(
+        self,
+        name: str,
+        queries: list[str],
+        metric: Metric,
+        similarity: float,
+        topk: int,
+    ) -> list[list[tuple[float, str]]]:
+        """Per-query top-k lists, aligned with ``queries`` — row-identical to
+        N single :meth:`suggest` calls (same plan, same final ordering)."""
+        e = self._get(name)
+        q = self.spark.createDataFrame(
+            list(enumerate(queries)), "query_id long, query string"
+        )
+        rows = suggest_topk_auto(
+            e.index, q, metric, similarity, topk, e.config,
+            dictionary=e.dictionary, stats=e.stats,
+        ).collect()
+        out: list[list[tuple[float, str]]] = [[] for _ in queries]
+        for r in rows:  # globally ordered by (query_id, rank)
+            out[r["query_id"]].append((r["score"], r["value"]))
+        return out
+
+    def autocomplete_batch(
+        self, name: str, queries: list[str], topk: int
+    ) -> list[list[str]]:
+        """Per-query first-k lists, aligned with ``queries``."""
+        e = self._get(name)
+        q = self.spark.createDataFrame(
+            list(enumerate(queries)), "query_id long, query string"
+        )
+        rows = autocomplete_firstk(
+            e.index, q, topk, e.config, dictionary=e.dictionary
+        ).collect()
+        out: list[list[str]] = [[] for _ in queries]
+        for r in rows:
+            out[r["query_id"]].append(r["value"])
+        return out

@@ -19,9 +19,13 @@ table shape:
 
 * A **manifest** maps each ``size`` partition to the version directory that
   owns it.  The CURRENT snapshot is the highest-numbered manifest file —
-  committed with an atomic exclusive create (fsutil.create_text_exclusive),
-  so a swap is one filesystem metadata operation and concurrent committers
-  of the same version cannot corrupt the log (one wins, one raises).
+  committed via temp-file + atomic exclusive rename
+  (fsutil.publish_text_atomic), so a swap is one filesystem metadata
+  operation, readers never see a torn manifest, and concurrent committers
+  of the same version cannot corrupt the log (one wins, one raises).  The
+  commit primitive is pluggable (:func:`set_manifest_committer`) so object
+  stores — where no filesystem op is atomic-exclusive — can inject a
+  conditional-put / catalog-lock commit.
 * **Readers never race writers**: a snapshot resolves to an explicit list
   of immutable directories at swap time; a rebuild/upsert writes a brand-new
   ``v=N`` directory and commits a new manifest — nothing a live query has
@@ -75,18 +79,57 @@ def list_manifest_versions(spark: SparkSession, base: str) -> list[int]:
 
 
 def read_manifest(spark: SparkSession, base: str, version: int | None = None) -> dict:
-    """The manifest dict for ``version`` (default: current = highest)."""
-    if version is None:
-        versions = list_manifest_versions(spark, base)
-        if not versions:
-            raise FileNotFoundError(f"no manifests under {base}/{_MANIFEST_DIR}")
-        version = versions[-1]
-    return json.loads(fsutil.read_text(spark, _manifest_path(base, version)))
+    """The manifest dict for ``version`` (default: current = highest).
+
+    When resolving CURRENT, a manifest that exists but does not parse (a
+    torn or zero-length file — impossible under the rename-based committer,
+    but reachable via a non-atomic injected committer or a pre-round-4 log)
+    falls back to the next-lower version: the previous snapshot is always a
+    consistent read, and the grace-period GC guarantees its data files still
+    exist.  An EXPLICITLY requested version still raises on corruption."""
+    if version is not None:
+        return json.loads(fsutil.read_text(spark, _manifest_path(base, version)))
+    versions = list_manifest_versions(spark, base)
+    if not versions:
+        raise FileNotFoundError(f"no manifests under {base}/{_MANIFEST_DIR}")
+    for v in reversed(versions):
+        try:
+            return json.loads(fsutil.read_text(spark, _manifest_path(base, v)))
+        except ValueError:  # json.JSONDecodeError ⊂ ValueError
+            if v == versions[0]:
+                raise
+    raise FileNotFoundError(f"no readable manifest under {base}/{_MANIFEST_DIR}")
+
+
+def _default_committer(spark: SparkSession, path: str, text: str) -> None:
+    """HDFS/local manifest commit: temp file + atomic rename, exclusive
+    (fsutil.publish_text_atomic) — readers see a whole manifest or none."""
+    fsutil.publish_text_atomic(spark, path, text, overwrite=False)
+
+
+#: The manifest-commit primitive.  Contract: publish ``text`` at ``path``
+#: all-or-nothing, raising if ``path`` already exists (two committers of the
+#: same version: EXACTLY ONE returns, the rest raise).  The default is
+#: correct on HDFS and local filesystems; object stores lack an atomic
+#: exclusive publish, so an S3 deployment injects a conditional-put /
+#: catalog-lock commit here (e.g. S3 If-None-Match, DynamoDB lock, an
+#: Iceberg catalog) via :func:`set_manifest_committer`.
+_MANIFEST_COMMITTER = _default_committer
+
+
+def set_manifest_committer(committer) -> object:
+    """Install a custom manifest-commit callable ``(spark, path, text)``
+    (see ``_MANIFEST_COMMITTER`` contract); returns the previous one so
+    callers can restore it."""
+    global _MANIFEST_COMMITTER
+    previous = _MANIFEST_COMMITTER
+    _MANIFEST_COMMITTER = committer if committer is not None else _default_committer
+    return previous
 
 
 def _commit(spark: SparkSession, base: str, manifest: dict) -> None:
     """Atomically publish ``manifest`` as the new current snapshot."""
-    fsutil.create_text_exclusive(
+    _MANIFEST_COMMITTER(
         spark, _manifest_path(base, manifest["version"]), json.dumps(manifest, sort_keys=True)
     )
 
@@ -225,10 +268,9 @@ def upsert_versioned_index(
 def write_versioned_table(df: DataFrame, base: str) -> dict:
     """Full-replace write of an UNPARTITIONED table under the same manifest
     protocol: fresh immutable ``v=N`` dir + atomic manifest commit.  Used
-    for the dictionary artifact, whose upserted state must survive a restart
-    (an index row without its dictionary value serves nulls) but whose
-    in-place rewrite would yank files from concurrent readers — the exact
-    index hazard, one table shape simpler (a single logical partition)."""
+    for small one-shot artifacts; the DICTIONARY artifact uses the bucketed
+    form below, whose upserts are copy-on-write per bucket instead of
+    O(table) per trickle update."""
     spark = df.sparkSession
     version = _next_version(spark, base)
     df.write.mode("errorifexists").parquet(_data_dir(base, version))
@@ -238,9 +280,177 @@ def write_versioned_table(df: DataFrame, base: str) -> dict:
 
 
 def read_versioned_table(spark: SparkSession, base: str) -> DataFrame:
-    """Current snapshot of a :func:`write_versioned_table` table."""
+    """Current snapshot of a versioned table — dispatches on the manifest
+    shape, so callers read unpartitioned (round-3) and bucketed (round-4)
+    layouts through one entry point."""
     manifest = read_manifest(spark, base)
+    if "n_buckets" in manifest:
+        return read_versioned_bucketed_table(spark, base, manifest)
     return spark.read.parquet(_data_dir(base, manifest["partitions"]["all"]))
+
+
+# -- bucketed copy-on-write tables -------------------------------------------
+#
+# The index side rewrites only touched ``size=`` partitions per upsert; the
+# dictionary side used to full-rewrite (round-3 verdict's last
+# O(corpus)-per-update path).  Same cure: hash-bucket the table on its key
+# (``bucket = crc32(key) % B`` — a PARTITION column, derivable from the key
+# alone), reuse the manifest's per-partition ownership map, and copy-on-write
+# only the buckets holding a changed key.  ``n_buckets`` is pinned in every
+# manifest at creation — two writers can never bucket one table two ways.
+
+DEFAULT_TABLE_BUCKETS = 64  # tests/local; a 100 TB-corpus dictionary: 4096+
+
+
+def _bucket_col(key_col, n_buckets: int):
+    return (F.crc32(F.col(key_col).cast("string")) % n_buckets).cast("int")
+
+
+def _buckets_written(spark: SparkSession, data_dir: str) -> list[int]:
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fsutil.list_names(spark, data_dir)
+        if n.startswith("bucket=")
+    )
+
+
+def write_versioned_bucketed_table(
+    df: DataFrame,
+    base: str,
+    key_col: str = "doc_id",
+    n_buckets: int = DEFAULT_TABLE_BUCKETS,
+) -> dict:
+    """Full (re)build of a key-bucketed versioned table: every bucket lands
+    under a fresh ``v=N`` and the manifest owns them all.  Later
+    :func:`upsert_versioned_bucketed_table` calls rewrite only touched
+    buckets.  An existing manifest's ``n_buckets`` is reused (a rebuild must
+    not silently re-bucket a table its upserts co-own)."""
+    spark = df.sparkSession
+    try:
+        n_buckets = read_manifest(spark, base).get("n_buckets", n_buckets)
+    except FileNotFoundError:
+        pass
+    version = _next_version(spark, base)
+    data_dir = _data_dir(base, version)
+    (
+        df.withColumn("bucket", _bucket_col(key_col, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    manifest = {
+        "version": version,
+        "partitions": {str(b): version for b in _buckets_written(spark, data_dir)},
+        "n_buckets": n_buckets,
+        "key": key_col,
+    }
+    _commit(spark, base, manifest)
+    return manifest
+
+
+def read_versioned_bucketed_table(
+    spark: SparkSession, base: str, manifest: dict | None = None
+) -> DataFrame:
+    """Current (or given) snapshot of a bucketed table — an explicit list of
+    immutable bucket directories; the layout columns (``v``, ``bucket``) are
+    dropped so readers see exactly the data schema."""
+    if manifest is None:
+        manifest = read_manifest(spark, base)
+    parts = manifest["partitions"]
+    if not parts:
+        raise FileNotFoundError(f"versioned bucketed table at {base} is empty")
+    dirs = [f"{_data_dir(base, v)}/bucket={b}" for b, v in sorted(parts.items())]
+    return spark.read.option("basePath", base).parquet(*dirs).drop("v", "bucket")
+
+
+def upsert_versioned_bucketed_table(
+    spark: SparkSession,
+    base: str,
+    new_rows: DataFrame,
+    deleted_keys: DataFrame | None = None,
+    key_col: str = "doc_id",
+    n_buckets: int = DEFAULT_TABLE_BUCKETS,
+) -> dict:
+    """Copy-on-write upsert: rewrite ONLY the buckets holding a replaced or
+    deleted key (plus those receiving new keys); untouched buckets keep
+    their owner version in the new manifest — O(touched buckets) work per
+    trickle update, never O(table).
+
+    Unlike the index upsert, the touched set needs NO scan of the current
+    snapshot: ``bucket`` is a pure function of the key, so replaced and
+    deleted keys map straight to their buckets.
+
+    A missing table is created; a round-3 UNPARTITIONED layout is migrated
+    (one full bucketed rewrite of the merged table — the last such rewrite
+    it will ever pay)."""
+    try:
+        current = read_manifest(spark, base)
+    except FileNotFoundError:
+        current = None
+
+    drop_keys = new_rows.select(F.col(key_col).alias(key_col))
+    if deleted_keys is not None:
+        drop_keys = drop_keys.unionByName(
+            deleted_keys.select(F.col(deleted_keys.columns[0]).alias(key_col))
+        )
+    drop_keys = drop_keys.distinct()
+
+    if current is None or "n_buckets" not in current:
+        # create, or one-time migration of an unpartitioned layout
+        old = (
+            read_versioned_table(spark, base).join(drop_keys, key_col, "left_anti")
+            if current is not None
+            else None
+        )
+        merged = new_rows if old is None else old.unionByName(new_rows)
+        manifest = write_versioned_bucketed_table(merged, base, key_col, n_buckets)
+        return {
+            "version": manifest["version"],
+            "buckets_touched": sorted(int(b) for b in manifest["partitions"]),
+            "migrated": current is not None,
+        }
+
+    n_buckets = current["n_buckets"]
+    version = _next_version(spark, base, floor=current["version"])
+    touched = {
+        r["bucket"]
+        for r in drop_keys.select(_bucket_col(key_col, n_buckets).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return {"version": current["version"], "buckets_touched": [], "migrated": False}
+    held = {b: v for b, v in current["partitions"].items() if int(b) in touched}
+    kept_dirs = [f"{_data_dir(base, v)}/bucket={b}" for b, v in sorted(held.items())]
+    fresh = new_rows.withColumn("bucket", _bucket_col(key_col, n_buckets))
+    if kept_dirs:
+        kept = (
+            spark.read.option("basePath", base)
+            .parquet(*kept_dirs)
+            .drop("v")
+            .join(drop_keys, key_col, "left_anti")
+        )
+        merged = kept.select(fresh.columns).unionByName(fresh)
+    else:
+        merged = fresh
+    data_dir = _data_dir(base, version)
+    merged.write.mode("errorifexists").partitionBy("bucket").parquet(data_dir)
+    surviving = set(_buckets_written(spark, data_dir))
+    partitions = {
+        b: v for b, v in current["partitions"].items() if int(b) not in touched
+    }
+    partitions.update({str(b): version for b in surviving})
+    _commit(
+        spark,
+        base,
+        {
+            "version": version,
+            "partitions": partitions,
+            "n_buckets": n_buckets,
+            "key": current.get("key", key_col),
+        },
+    )
+    return {"version": version, "buckets_touched": sorted(touched), "migrated": False}
 
 
 def gc_versions(

@@ -8,15 +8,24 @@ no-op or misroute on remote schemes.  These helpers go through the JVM's
 own committers use, and FAIL LOUDLY: a delete or create that does not happen
 raises instead of leaving stale data behind.
 
-The one atomicity primitive exposed is ``create_text_exclusive``: an
-O_EXCL-style create that either publishes the whole file or raises —
-atomic on HDFS and local filesystems, which is what a manifest-log commit
-(operators/versioned.py) needs.  (S3A's create is not atomic; a real S3
-deployment fronts the manifest log with a DynamoDB/Iceberg-style catalog —
-documented there, not hidden here.)
+The atomicity primitive exposed is ``publish_text_atomic``: write the full
+bytes to a hidden sibling temp file, then ``FileSystem.rename`` into place.
+Rename is a single metadata operation on HDFS and a POSIX ``rename(2)`` on
+local filesystems, so a concurrent reader sees either the whole file or no
+file — NEVER a torn prefix (the round-3 manifest hazard: ``create`` made the
+path visible at zero length while the JSON streamed in).  Exclusivity
+(``overwrite=False``) is additionally atomic on HDFS, where rename fails when
+the destination exists; on the local filesystem Hadoop's rename follows POSIX
+overwrite semantics, so exclusivity there is check-then-rename — honest
+TOCTOU, same as Hadoop's own ``create(overwrite=false)`` on
+LocalFileSystem.  Object stores (S3A) have neither primitive; the manifest
+log exposes a pluggable committer (versioned.set_manifest_committer) so an
+S3 deployment injects a conditional-put/catalog commit instead.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -78,17 +87,88 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
-def create_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
-    """Atomically publish ``text`` at ``path``; raise if ``path`` exists.
+def publish_text_atomic(
+    spark: SparkSession, path: str, text: str, overwrite: bool = False
+) -> None:
+    """Publish ``text`` at ``path`` with all-or-nothing visibility.
 
-    ``FileSystem.create(overwrite=False)`` is an exclusive create on HDFS
-    and local filesystems — the commit primitive for a monotone manifest
-    log (two concurrent committers of the same version: exactly one wins,
-    the other raises instead of corrupting the log)."""
+    The bytes land in a hidden sibling temp file (leading ``.`` — invisible
+    to Spark partition discovery and to the manifest readers' name filters)
+    which is then RENAMED into place: readers see the complete file or none,
+    never a torn prefix.
+
+    ``overwrite=False`` raises if ``path`` already exists — the commit
+    primitive for a monotone manifest log (two committers of one version:
+    exactly one wins).  On HDFS the rename itself enforces this (rename to
+    an existing destination fails); on local filesystems rename overwrites,
+    so the exists-check before it is the guard (TOCTOU-honest — same
+    cross-process guarantee Hadoop's LocalFileSystem ``create(overwrite=
+    false)`` gives; versioned.read_manifest additionally falls back to the
+    previous manifest on a parse failure, so even a lost local race cannot
+    take readers down).
+
+    ``overwrite=True`` replaces atomically on local filesystems
+    (``os.replace``); on HDFS rename refuses an existing destination, so the
+    replace is delete + rename — a brief ABSENT window (never a torn one),
+    and callers of replaceable artifacts (planner stats, registry meta)
+    already treat absence as "invalidated, fall back".  On ``file://`` the
+    exclusive form is a hard-link publish (``os.link`` → EEXIST), a true
+    cross-process O_EXCL — stronger than Hadoop LocalFileSystem's
+    check-then-create."""
+    parent, name = path.rsplit("/", 1)
+    tmp = f"{parent}/.{name}.tmp-{uuid.uuid4().hex}"
     fs, hpath, _ = _fs(spark, path)
-    fs.mkdirs(hpath.getParent())
-    stream = fs.create(hpath, False)  # overwrite=False → atomic exclusive
+    if fs.getScheme() == "file":
+        import os
+
+        local_dst = hpath.toUri().getPath()
+        local_dir = os.path.dirname(local_dst)
+        local_tmp = os.path.join(local_dir, f".{name}.tmp-{uuid.uuid4().hex}")
+        os.makedirs(local_dir, exist_ok=True)
+        with open(local_tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            if overwrite:
+                os.replace(local_tmp, local_dst)  # atomic POSIX rename(2)
+            else:
+                os.link(local_tmp, local_dst)  # atomic O_EXCL: EEXIST on race
+                os.unlink(local_tmp)
+        finally:
+            if os.path.exists(local_tmp):
+                os.unlink(local_tmp)
+        return
+    _, htmp, _ = _fs(spark, tmp)
+    fs.mkdirs(htmp.getParent())
+    stream = fs.create(htmp, True)
     try:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+    try:
+        if not overwrite and fs.exists(hpath):
+            raise FileExistsError(f"{path} already exists")
+        if not fs.rename(htmp, hpath):
+            # HDFS rename refuses an existing destination, so a refusal means
+            # either a replace (delete + retry: brief ABSENT window, never a
+            # torn one), a lost exclusive-commit race (raise), or an fs error
+            if overwrite and fs.exists(hpath):
+                if not fs.delete(hpath, False):
+                    raise IOError(f"failed to replace {path}")
+                if fs.rename(htmp, hpath):
+                    return
+            raise (
+                FileExistsError(f"{path} already exists")
+                if not overwrite and fs.exists(hpath)
+                else IOError(f"failed to publish {path}")
+            )
+    finally:
+        if fs.exists(htmp):
+            fs.delete(htmp, False)
+
+
+def create_text_exclusive(spark: SparkSession, path: str, text: str) -> None:
+    """Back-compat alias: exclusive atomic publish (see
+    :func:`publish_text_atomic`, ``overwrite=False``)."""
+    publish_text_atomic(spark, path, text, overwrite=False)

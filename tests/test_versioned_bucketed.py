@@ -1,0 +1,178 @@
+"""Bucketed copy-on-write versioned tables (round-4 verdict #1): the
+dictionary artifact's trickle upserts must rewrite only the buckets holding
+a changed key — never the whole table — under the same manifest/snapshot
+protocol as the index."""
+
+import pytest
+
+from suggest_spark.operators.versioned import (
+    read_manifest,
+    read_versioned_bucketed_table,
+    read_versioned_table,
+    upsert_versioned_bucketed_table,
+    write_versioned_bucketed_table,
+    write_versioned_table,
+)
+from suggest_spark.sources import fsutil
+
+ROWS = [(i, f"value {i}") for i in range(40)]
+SCHEMA = "doc_id long, value string"
+
+
+def _vals(df):
+    return sorted((r["doc_id"], r["value"]) for r in df.collect())
+
+
+def test_bucketed_roundtrip_and_dispatch(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    m = write_versioned_bucketed_table(df, base, n_buckets=8)
+    assert m["n_buckets"] == 8 and m["version"] == 1
+    assert _vals(read_versioned_bucketed_table(spark, base)) == sorted(ROWS)
+    # generic reader dispatches on the manifest shape
+    got = read_versioned_table(spark, base)
+    assert got.columns == ["doc_id", "value"] and _vals(got) == sorted(ROWS)
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_versioned_bucketed_table(df, base, n_buckets=8)
+
+    new = spark.createDataFrame([(3, "replaced 3"), (100, "new 100")], SCHEMA)
+    deleted = spark.createDataFrame([(7,)], "doc_id long")
+    stats = upsert_versioned_bucketed_table(spark, base, new, deleted_keys=deleted)
+    assert stats["version"] == 2 and not stats["migrated"]
+    # only the buckets of doc_ids {3, 100, 7} were written into v=2 —
+    # the copy-on-write proof, from the new version's own directory listing
+    v2_buckets = {
+        int(n.split("=", 1)[1])
+        for n in fsutil.list_names(spark, f"{base}/v=2")
+        if n.startswith("bucket=")
+    }
+    assert v2_buckets == set(stats["buckets_touched"]) and 0 < len(v2_buckets) <= 3
+    manifest = read_manifest(spark, base)
+    untouched_owners = {
+        v for b, v in manifest["partitions"].items() if int(b) not in v2_buckets
+    }
+    assert untouched_owners == {1}  # untouched buckets still owned by v1
+    expect = sorted(
+        [(i, f"value {i}") for i in range(40) if i not in (3, 7)]
+        + [(3, "replaced 3"), (100, "new 100")]
+    )
+    assert _vals(read_versioned_table(spark, base)) == expect
+    # previous snapshot still fully readable (grace period)
+    old = read_versioned_bucketed_table(spark, base, read_manifest(spark, base, 1))
+    assert _vals(old) == sorted(ROWS)
+
+
+def test_bucketed_upsert_noop_and_emptied_bucket(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    small = [(0, "a"), (1, "b")]
+    write_versioned_bucketed_table(
+        spark.createDataFrame(small, SCHEMA), base, n_buckets=4
+    )
+    # no changed keys -> no new version
+    none = upsert_versioned_bucketed_table(
+        spark, base, spark.createDataFrame([], SCHEMA)
+    )
+    assert none["buckets_touched"] == [] and none["version"] == 1
+    # deleting a bucket's only key removes the bucket from the manifest
+    gone = upsert_versioned_bucketed_table(
+        spark,
+        base,
+        spark.createDataFrame([], SCHEMA),
+        deleted_keys=spark.createDataFrame([(0,)], "doc_id long"),
+    )
+    assert gone["version"] == 2
+    assert _vals(read_versioned_table(spark, base)) == [(1, "b")]
+
+
+def test_unpartitioned_layout_migrates_once_then_incremental(spark, tmp_path):
+    """A round-3 full-replace table (partitions == {'all': v}) upserted
+    through the bucketed API pays ONE full bucketed rewrite and is
+    copy-on-write from then on."""
+    base = str(tmp_path / "tbl")
+    write_versioned_table(spark.createDataFrame(ROWS, SCHEMA), base)
+    first = upsert_versioned_bucketed_table(
+        spark, base, spark.createDataFrame([(0, "replaced 0")], SCHEMA), n_buckets=8
+    )
+    assert first["migrated"] and read_manifest(spark, base)["n_buckets"] == 8
+    second = upsert_versioned_bucketed_table(
+        spark, base, spark.createDataFrame([(1, "replaced 1")], SCHEMA)
+    )
+    assert not second["migrated"] and len(second["buckets_touched"]) == 1
+    expect = sorted(
+        [(i, f"value {i}") for i in range(2, 40)] + [(0, "replaced 0"), (1, "replaced 1")]
+    )
+    assert _vals(read_versioned_table(spark, base)) == expect
+
+
+def test_rebuild_reuses_pinned_bucket_count(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    write_versioned_bucketed_table(
+        spark.createDataFrame(ROWS, SCHEMA), base, n_buckets=4
+    )
+    # a rebuild asking for a DIFFERENT count must keep the pinned one —
+    # upserts and rebuilds co-own the table's layout
+    m = write_versioned_bucketed_table(
+        spark.createDataFrame(ROWS, SCHEMA), base, n_buckets=16
+    )
+    assert m["n_buckets"] == 4
+
+
+def test_service_dictionary_upsert_is_bucket_granular(spark, tmp_path):
+    """Service-level done-criterion (round-3 verdict #1): a trickle upsert
+    writes only touched dictionary buckets, upserted values survive in the
+    persisted sibling, and a fresh service boot serves them."""
+    from suggest_spark.functions.metrics import JACCARD
+    from suggest_spark.operators.service import SuggestService
+
+    base = str(tmp_path / "svc_idx")
+    svc = SuggestService(spark)
+    dictionary = spark.createDataFrame(
+        [(i, f"Nissan model {i}") for i in range(30)], SCHEMA
+    )
+    svc.add_disc_index("cars", dictionary, base)
+
+    # upsert #1 creates the bucketed sibling (one full write, seeded)
+    svc.upsert_disc_index(
+        "cars", spark.createDataFrame([(100, "Mazda Demio")], SCHEMA)
+    )
+    sib = f"{base}_dictionary"
+    m1 = read_manifest(spark, sib)
+    assert "n_buckets" in m1
+
+    # upsert #2 is incremental: exactly one bucket version-bumped
+    svc.upsert_disc_index(
+        "cars", spark.createDataFrame([(101, "Suzuki Swift")], SCHEMA)
+    )
+    m2 = read_manifest(spark, sib)
+    assert m2["version"] == m1["version"] + 1
+    bumped = [
+        b for b, v in m2["partitions"].items() if m1["partitions"].get(b) != v
+    ]
+    assert len(bumped) == 1  # only doc 101's bucket was rewritten
+    got = svc.suggest("cars", "Suzuki Swift", JACCARD, 0.5, 5)
+    assert [v for _, v in got] == ["Suzuki Swift"]
+
+    # restart durability: a new service boots the sibling and serves values
+    svc2 = SuggestService(spark)
+    svc2.add_disc_index("cars", dictionary, base, rebuild=False)
+    got = svc2.suggest("cars", "Mazda Demio", JACCARD, 0.5, 5)
+    assert [v for _, v in got] == ["Mazda Demio"]
+
+
+def test_bucketed_read_empty_raises(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    write_versioned_bucketed_table(
+        spark.createDataFrame([(0, "a")], SCHEMA), base, n_buckets=4
+    )
+    upsert_versioned_bucketed_table(
+        spark,
+        base,
+        spark.createDataFrame([], SCHEMA),
+        deleted_keys=spark.createDataFrame([(0,)], "doc_id long"),
+    )
+    with pytest.raises(FileNotFoundError):
+        read_versioned_bucketed_table(spark, base)
