@@ -38,72 +38,87 @@ def write_pid_file(pid_path: str | None) -> None:
 def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
     """app.go:47-68 listenToSystemSignals: SIGHUP -> live reindex.
 
-    The rebuild runs on a daemon THREAD, not in the signal handler: Python
-    delivers signals on the main thread — Flask's accept loop — so a
-    synchronous multi-minute Spark rebuild there would freeze all new
-    connections for its duration (the reference reindexes in a goroutine
-    while net/http keeps serving).  SIGHUPs arriving while a rebuild is in
-    flight COALESCE into exactly one follow-up run — the Go buffered signal
-    channel leaves one signal pending, so a config change landing mid-rebuild
-    is always picked up afterward, never dropped.  The service's own mutation
-    lock additionally serializes overlapping mutators.
+    The rebuild runs on ONE long-lived daemon worker thread woken by a
+    ``threading.Event`` — not in the signal handler: Python delivers signals
+    on the main thread (Flask's accept loop), so a synchronous multi-minute
+    Spark rebuild there would freeze all new connections (the reference
+    reindexes in a goroutine while net/http keeps serving).  The handler
+    body is a single ``Event.set()``, which is atomic and re-entrancy-safe —
+    a second SIGHUP delivered at a bytecode boundary INSIDE the first
+    handler cannot start a duplicate worker (the round-3 check-then-set
+    hazard is structurally gone: there is exactly one worker, created once).
 
-    Returns ``{"thread": last Thread or None}`` so tests/operators can join.
+    SIGHUPs arriving while a rebuild is in flight COALESCE into exactly one
+    follow-up run: the worker clears the event BEFORE running the job, so
+    any signal landing mid-rebuild leaves it set for one more pass — the Go
+    buffered-signal-channel semantics (a config change mid-rebuild is always
+    picked up afterward, never dropped; a signal storm never queues N runs).
+
+    Returns ``{"thread": worker Thread, "wait_idle": fn(timeout) -> bool}``;
+    ``wait_idle`` blocks until no rebuild is running or pending (tests and
+    graceful shutdown).
     """
     import threading
+    import time
 
-    state: dict = {"thread": None}
-    # RLock, not Lock: CPython may deliver a second SIGHUP's handler at a
-    # bytecode boundary INSIDE the first handler's critical section, on the
-    # same main thread — a non-reentrant lock would self-deadlock the accept
-    # loop.  Re-entry is harmless (single thread mutating flags); the RLock
-    # still excludes the worker thread.
-    lock = threading.RLock()  # guards running/pending
-    flags = {"running": False, "pending": False}
+    wake = threading.Event()
+    idle = threading.Event()
+    idle.set()
+
+    def _run_once():
+        # clear BEFORE the job reads config: a signal set after this point
+        # reflects a change the current run may have missed → one more pass
+        wake.clear()
+        try:
+            reindex_job()
+            print("Reindex done!")
+        except Exception as e:  # the Go loop logs and keeps serving
+            print(f"Fail to reload index {e}")
 
     def _worker():
-        completed = False
-        try:
-            while True:
-                try:
-                    reindex_job()
-                    print("Reindex done!")
-                except Exception as e:  # the Go loop logs and keeps serving
-                    print(f"Fail to reload index {e}")
-                with lock:
-                    if flags["pending"]:  # SIGHUP(s) arrived mid-rebuild
-                        flags["pending"] = False
-                        continue  # one follow-up run, however many signals
-                    flags["running"] = False
-                    completed = True
-                    return
-        finally:
-            # BaseException safety (SystemExit/KeyboardInterrupt escape the
-            # except above): never leave running=True with no worker alive,
-            # or every later SIGHUP queues into a void forever.  Guarded by
-            # `completed`: after a normal exit a new SIGHUP may already have
-            # started the NEXT worker — blindly resetting running here would
-            # let a further signal spawn a second concurrent worker.
-            if not completed:
-                with lock:
-                    flags["running"] = False
+        while True:
+            wake.wait()
+            idle.clear()
+            try:
+                _run_once()
+            finally:
+                # BaseException-safe: never park with work pending or report
+                # idle while a follow-up is due
+                if not wake.is_set():
+                    idle.set()
 
     def _on_hup(signum, frame):
-        with lock:
-            if flags["running"]:
-                flags["pending"] = True
-                print("Reindex already in progress, queued a follow-up")
-                return
-            flags["running"] = True
-        if background:
-            t = threading.Thread(target=_worker, daemon=True, name="sighup-reindex")
-            state["thread"] = t
-            t.start()
-        else:  # tests: deterministic synchronous path
-            _worker()
+        wake.set()  # atomic; the only statement — nothing to interleave
+        if not background:
+            # tests-only deterministic synchronous path (no worker thread);
+            # a nested handler here re-enters _run_once, which is harmless
+            # single-threaded re-execution, not concurrent duplication
+            while wake.is_set():
+                idle.clear()
+                try:
+                    _run_once()
+                finally:
+                    if not wake.is_set():
+                        idle.set()
+
+    t = None
+    if background:
+        t = threading.Thread(target=_worker, daemon=True, name="sighup-reindex")
+        t.start()
+
+    def wait_idle(timeout: float = 60.0) -> bool:
+        """True once no rebuild is running or pending (polls: 'idle' must be
+        observed TOGETHER with 'no wake pending' — the event pair changes in
+        two steps)."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if idle.is_set() and not wake.is_set():
+                return True
+            time.sleep(0.02)
+        return False
 
     signal.signal(signal.SIGHUP, _on_hup)
-    return state
+    return {"thread": t, "wait_idle": wait_idle}
 
 
 def main() -> None:
@@ -119,7 +134,8 @@ def main() -> None:
     spark = get_spark(app_name="suggest_http_service", master=args.master)
     service, reindex_job = service_from_config(spark, args.config, args.base_dir)
     install_sighup_reindex(reindex_job)
-    app = create_app(service, reindex_job)
+    # coalesce: N concurrent requests -> one Spark job per parameter group
+    app = create_app(service, reindex_job, coalesce=True)
     app.run(host="0.0.0.0", port=args.port, threaded=True)
 
 

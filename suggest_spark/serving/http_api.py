@@ -23,6 +23,13 @@ serves reads from its own immutable snapshot and POST /internal/reindex is
 the same build-then-swap on every replica (the reference runs the same
 single-process model behind SIGHUP, app.go:47-68).
 
+Latency model (``coalesce=True``, the service job's default): a lone request
+pays one Spark job (~0.5-3 s on a cold driver — honest: not the reference's
+mmap microseconds); N CONCURRENT requests pay ~one job TOTAL per distinct
+search-parameter group (serving/coalesce.py batches them through
+``suggest_batch``), so throughput under load tracks the measured batch rate
+(300-400 q/s at sf0.1) instead of degrading linearly with user count.
+
 Flask is used when importable (present in this container); the module
 degrades to an ImportError at ``create_app`` call time, not import time, so
 the rest of the package works without it.
@@ -39,6 +46,12 @@ from ..functions.metrics import METRICS
 DEFAULT_SIMILARITY = 0.5  # suggest_handler.go:20
 DEFAULT_TOPK = 5  # suggest_handler.go:21
 
+#: the reference's metric map is CASE-SENSITIVE on capitalized names
+#: (suggest_handler.go:26-33: "Jaccard", "Cosine", ...) — lowercase
+#: "jaccard" is a 400 there, so it is a 400 here (exact parity; the
+#: engine-internal METRICS map stays lowercase for programmatic callers)
+HTTP_METRICS = {m.name.capitalize(): m for m in METRICS.values()}
+
 
 def _result_items(pairs) -> list[dict]:
     """[(score, value)] -> reference ResultItem JSON (service.go:11-17)."""
@@ -50,13 +63,25 @@ def create_app(
     reindex_job: Callable[[], None] | None = None,
     project: str = "suggest_spark",
     version: str = "v1",
+    coalesce: bool = False,
 ):
     """Build the Flask app over a live ``SuggestService``.
 
     ``reindex_job`` is the POST /internal/reindex callable (the reference's
     closure over configureService, app.go:47-52); omit it to 500 the route.
+
+    ``coalesce=True`` routes suggest/autocomplete through a
+    :class:`~suggest_spark.serving.coalesce.RequestCoalescer`: N concurrent
+    requests fold into one Spark job per distinct search-parameter group
+    (row-identical responses — same plan, batched by query_id).  The
+    service job enables this; tests of route shape use the direct path.
     """
     from flask import Flask, Response, request
+
+    if coalesce:
+        from .coalesce import RequestCoalescer
+
+        service = RequestCoalescer(service)
 
     app = Flask("suggest_spark.serving")
     app.url_map.strict_slashes = False  # mux StrictSlash(true) analogue
@@ -101,7 +126,7 @@ def create_app(
         try:
             topk = _topk()
             metric_name = request.args.get("metric", "")
-            metric = METRICS.get(metric_name.lower())
+            metric = HTTP_METRICS.get(metric_name)  # case-sensitive, see map
             if metric is None:  # suggest_handler.go:90 "metric is not found"
                 raise ValueError("metric is not found")
             similarity = float(request.args.get("similarity", DEFAULT_SIMILARITY))

@@ -82,6 +82,11 @@ def test_autocomplete_route(client):
 def test_error_mapping(client):
     # buildSearchConfig failures -> 400 (suggest_handler.go:78-103)
     assert client.get("/suggest/cars/x/", query_string={"metric": "Nope"}).status_code == 400
+    # reference parity: the metric map is case-sensitive on capitalized
+    # names (suggest_handler.go:26-33) — lowercase is a 400 there too
+    assert client.get(
+        "/suggest/cars/x/", query_string={"metric": "jaccard"}
+    ).status_code == 400
     assert client.get(
         "/suggest/cars/x/", query_string={"metric": "Cosine", "topK": "-1"}
     ).status_code == 400
@@ -145,11 +150,10 @@ def test_sighup_reindex_and_pidfile(spark, tmp_path):
     cfg = _write_config(tmp_path, ["Nissan March"])
     svc, reindex_job = service_from_config(spark, cfg)
     _write_config(tmp_path, ["Nissan March", "Honda Fit"])
-    state = install_sighup_reindex(reindex_job)  # background thread (default)
+    state = install_sighup_reindex(reindex_job)  # background worker (default)
     os.kill(os.getpid(), signal.SIGHUP)  # handler runs synchronously; rebuild doesn't
-    assert state["thread"] is not None
-    state["thread"].join(300)
-    assert not state["thread"].is_alive()
+    assert state["thread"] is not None and state["thread"].is_alive()
+    assert state["wait_idle"](300)  # long-lived worker: wait, don't join
     got = svc.suggest("cars", "Honda Fit", __import__(
         "suggest_spark.functions.metrics", fromlist=["JACCARD"]).JACCARD, 0.5, 5)
     assert [v for _, v in got] == ["Honda Fit"]
@@ -212,9 +216,7 @@ def test_sighup_coalesces_to_one_followup_run():
     for _ in range(3):
         os.kill(os.getpid(), signal.SIGHUP)
     release.set()
-    deadline = time.time() + 30
-    while len(runs) < 2 and time.time() < deadline:
-        time.sleep(0.05)
-    state["thread"].join(30)
-    assert not state["thread"].is_alive()
+    assert state["wait_idle"](30)
+    time.sleep(0.2)  # a third run, were one wrongly queued, would start now
+    assert state["wait_idle"](30)
     assert len(runs) == 2  # initial + exactly one coalesced follow-up
