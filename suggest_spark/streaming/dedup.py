@@ -102,6 +102,16 @@ def _registry_meta(
     meta_path = f"{path}/{_META}"
     if fsutil.exists(spark, meta_path):
         meta = json.loads(fsutil.read_text(spark, meta_path))
+        if "migrating_to" in meta:
+            # a prefix migration is in flight (or crashed): pfx values on
+            # disk are a MIX of old and new layouts — admitting against
+            # them would silently miss duplicates.  Finish it first.
+            raise ValueError(
+                f"{path} has an unfinished prefix migration to "
+                f"n_prefixes={meta['migrating_to']}; re-run "
+                f"migrate_registry(spark, path, {meta['migrating_to']}) "
+                "to complete it before ingesting"
+            )
         if id_type is not None and meta.get("id_type", id_type) != id_type:
             raise ValueError(
                 f"{path} was created with id_type={meta['id_type']!r}; "
@@ -128,7 +138,7 @@ def _registry_meta(
         "layout": "pfx-owners-v2",
         "id_type": id_type or "long",
     }
-    fsutil.write_text(spark, meta_path, json.dumps(meta, sort_keys=True))
+    fsutil.publish_text_atomic(spark, meta_path, json.dumps(meta, sort_keys=True), overwrite=True)
     return meta
 
 
@@ -223,6 +233,12 @@ def compact_registry(
         has_pfx = any(n.startswith("pfx=") for n in names)
         if fsutil.exists(spark, meta_path):
             meta = json.loads(fsutil.read_text(spark, meta_path))
+            if "migrating_to" in meta:
+                raise ValueError(
+                    f"{registry_path} has an unfinished prefix migration to "
+                    f"n_prefixes={meta['migrating_to']}; re-run "
+                    f"migrate_registry(spark, path, {meta['migrating_to']}) first"
+                )
         elif has_pfx:
             if n_prefixes is None:
                 raise ValueError(
@@ -252,9 +268,9 @@ def compact_registry(
     )
     if legacy:
         reg.write.mode("overwrite").partitionBy("pfx").parquet(registry_path)
-        fsutil.write_text(spark, meta_path, json.dumps(meta, sort_keys=True))
+        fsutil.publish_text_atomic(spark, meta_path, json.dumps(meta, sort_keys=True), overwrite=True)
     else:
-        fsutil.write_text(spark, meta_path, json.dumps(meta, sort_keys=True))
+        fsutil.publish_text_atomic(spark, meta_path, json.dumps(meta, sort_keys=True), overwrite=True)
         (
             reg.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -262,6 +278,87 @@ def compact_registry(
             .parquet(registry_path)
         )
     return reg.count()
+
+
+def migrate_registry(
+    spark: SparkSession,
+    registry_path: str,
+    new_n_prefixes: int,
+    n_files: int = 8,
+) -> int:
+    """Re-layout a registry to a NEW prefix count — the growth path for a
+    registry that has outlived its creation-time ``n_prefixes`` (64 default;
+    a partition should stay executor-sized, so a corpus that grew 100×
+    migrates to 4096+).  Admission decisions are unchanged: the owners set
+    ``(bucket, doc_id)`` is layout-independent; only the pruning key
+    ``pfx = crc32(bucket) % n`` is recomputed.  Returns the row count.
+
+    Offline operation with explicit crash-safety, in this order:
+
+    1. meta gains ``migrating_to`` (atomic replace) — every ingest and
+       compaction now REFUSES the registry (mixed old/new pfx values would
+       silently miss duplicates) and names the exact re-run command;
+    2. all rows are read (``bucket``/``doc_id`` only — the stored pfx column
+       is ignored), deduplicated, re-prefixed, pinned (localCheckpoint:
+       source partitions are the rewrite target), and rewritten with
+       DYNAMIC partition overwrite (never clears the dir, meta survives);
+    3. stale ``pfx=`` dirs absent from the new layout are deleted through
+       the Hadoop FS API (dynamic overwrite only replaces partitions
+       present in the output — the known gotcha);
+    4. meta is atomically replaced with the final ``n_prefixes``.
+
+    A crash ANYWHERE between 1 and 4 leaves ``migrating_to`` in place, and
+    re-running this function is always correct: pfx is recomputed from
+    ``bucket``, so mixed layouts on disk are read-and-rewritten losslessly.
+    """
+    meta_path = f"{registry_path}/{_META}"
+    if _is_legacy_registry(spark, registry_path) or not fsutil.exists(spark, meta_path):
+        raise ValueError(
+            f"{registry_path} is not a v2 registry with meta; run "
+            "compact_registry first (it migrates legacy layouts and can "
+            "restore a lost meta)"
+        )
+    meta = json.loads(fsutil.read_text(spark, meta_path))
+    if meta.get("migrating_to", new_n_prefixes) != new_n_prefixes:
+        raise ValueError(
+            f"{registry_path} already migrating to "
+            f"n_prefixes={meta['migrating_to']}; finish that migration "
+            "(re-run with the same target) before choosing another"
+        )
+    id_type = meta.get("id_type", "long")
+    fsutil.publish_text_atomic(
+        spark,
+        meta_path,
+        json.dumps({**meta, "migrating_to": new_n_prefixes}, sort_keys=True),
+        overwrite=True,
+    )
+    schema = f"bucket string, doc_id {id_type}, pfx int"
+    rows = (
+        spark.read.schema(schema)
+        .option("basePath", registry_path)
+        .parquet(registry_path)
+        .select("bucket", "doc_id")  # stored pfx is layout-stale: recompute
+        .distinct()
+        .withColumn("pfx", _pfx(F.col("bucket"), new_n_prefixes))
+        .repartition(n_files, "pfx")
+        .localCheckpoint(eager=True)
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pfx")
+        .parquet(registry_path)
+    )
+    written = {r["pfx"] for r in rows.select("pfx").distinct().collect()}
+    for name in fsutil.list_names(spark, registry_path):
+        if name.startswith("pfx=") and int(name.split("=", 1)[1]) not in written:
+            fsutil.delete(spark, f"{registry_path}/{name}")
+    final = {k: v for k, v in meta.items() if k != "migrating_to"}
+    final["n_prefixes"] = new_n_prefixes
+    fsutil.publish_text_atomic(
+        spark, meta_path, json.dumps(final, sort_keys=True), overwrite=True
+    )
+    return rows.count()
 
 
 def near_dup_ingest(
