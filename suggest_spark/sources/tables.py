@@ -62,7 +62,19 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame, key: str =
     MERGE, which is exactly why the Parquet paths use dynamic-partition
     overwrite + manifest swap instead.
     """
+    import re
     import uuid
+
+    # the table name is the one identifier backticks cannot fully launder
+    # (it may be catalog.db.table); validate it instead of interpolating an
+    # arbitrary string into SQL
+    if not re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){0,2}", table):
+        raise ValueError(f"unsafe table identifier: {table!r}")
+
+    def _q(c: str) -> str:  # backtick-quote a column identifier
+        if "`" in c:
+            raise ValueError(f"unsafe column identifier: {c!r}")
+        return f"`{c}`"
 
     # per-call view name: concurrent callers on one session must not clobber
     # each other's source frame mid-merge
@@ -70,15 +82,15 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame, key: str =
     updates.createOrReplaceTempView(view)
     try:
         cols = updates.columns
-        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+        sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in cols if c != key)
         # a key-only updates frame has nothing to update — MATCHED rows are
         # already present; emitting an empty SET would be a ParseException
         matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
         spark.sql(
-            f"MERGE INTO {table} t USING {view} s ON t.{key} = s.{key} "
+            f"MERGE INTO {table} t USING {view} s ON t.{_q(key)} = s.{_q(key)} "
             f"{matched}"
-            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
-            f"VALUES ({', '.join('s.' + c for c in cols)})"
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(_q(c) for c in cols)}) "
+            f"VALUES ({', '.join('s.' + _q(c) for c in cols)})"
         )
     finally:
         spark.catalog.dropTempView(view)

@@ -55,6 +55,20 @@ def test_bucketed_join_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
 
 
+def test_merge_upsert_rejects_unsafe_identifiers(spark):
+    """Identifier hygiene runs BEFORE any SQL (no Iceberg jar needed): a
+    non-identifier table string must raise, never reach the parser."""
+    import pytest as _pytest
+
+    from suggest_spark.sources.tables import merge_upsert
+
+    updates = spark.createDataFrame([("u", "t")], "url string, text string")
+    with _pytest.raises(ValueError, match="unsafe table identifier"):
+        merge_upsert(spark, "pages; DROP TABLE x", updates)
+    with _pytest.raises(ValueError, match="unsafe table identifier"):
+        merge_upsert(spark, "a.b.c.d", updates)  # >3 name parts
+
+
 def test_iceberg_writeto_and_merge_upsert(spark):
     """Executable proof of the Iceberg claims in sources/tables.py: writeTo
     createOrReplace + MERGE-based snapshot-isolated upsert (VERDICT r2 #7).
