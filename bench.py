@@ -403,6 +403,21 @@ def main() -> None:
     extra["spellcheck_mrr"] = report["mrr"]
     extra["spellcheck_cases"] = report["n_cases"]
 
+    # plan-selector calibration evidence (bench_calibrate_suggest.py writes
+    # it; re-run that harness when the selector constants are revisited) —
+    # folded into detail so the measured crossover travels with every round
+    cal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out", "CALIBRATION_suggest.json")
+    if os.path.exists(cal_path):
+        with open(cal_path) as f:
+            cal = json.load(f)
+        extra["suggest_plan_calibration"] = {
+            "skew_crossover_max_df_ratio_by_scale": cal[
+                "skew_crossover_max_df_ratio_by_scale"
+            ],
+            "largest_scale_trend": cal["largest_scale_trend"],
+        }
+
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: suggest_words joined the headline in
     # round 3, so this subtotal restates the total over the round-2 segment

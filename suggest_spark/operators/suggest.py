@@ -134,7 +134,7 @@ def select_suggest_plan(
     num_postings: int,
     max_df: int,
     min_postings: int = 100_000_000,
-    skew_ratio: float = 0.25,
+    skew_ratio: float = 0.6,
 ) -> str:
     """Choose ``"plain"`` (:func:`suggest_topk`) or ``"prefix"``
     (:func:`suggest_topk_prefix`) from persisted index statistics.
@@ -152,15 +152,26 @@ def select_suggest_plan(
       stream is the bottleneck: very large posting counts
       (``num_postings >= min_postings``, default 10^8 ≈ multi-GB match
       stream per 1k-query batch) or hot-gram skew
-      (``max_df / num_docs >= skew_ratio``: one gram hitting ≥25% of the
-      corpus makes every query containing it stream ``0.25·num_docs``
+      (``max_df / num_docs >= skew_ratio``: a gram hitting that fraction of
+      the corpus makes every query containing it stream ``ratio·num_docs``
       pre-aggregation rows through the plain join, while the prefix path
       never probes hot grams at all — same rare-first rationale as
       linkage/blocking.py).
 
-    Both thresholds are exposed for recalibration per cluster; the skew rule
-    only fires above 10^6 postings (below that even a fully-skewed stream is
-    trivially small).
+    The ``skew_ratio=0.6`` default is MEASURED, not argued
+    (bench_calibrate_suggest.py grid, bench_out/CALIBRATION_suggest.json,
+    2026-08-18 local[32]): at max_df/num_docs ≈ 0.25 the plain plan still
+    wins ~2× at both 2M and 8M postings, while at ≈ 0.6 the prefix plan
+    crosses over (1.01× at 2M postings, 1.36× at 8M — the prefix advantage
+    GROWS with posting count at fixed skew, so 0.6 is conservative for
+    larger indexes).  ``min_postings=10^8`` stays the cluster-scale
+    threshold: local hosts can't reach that regime, and the measured
+    no-skew trend (plain 0.25 µs/posting vs prefix ~1 µs/posting at 8M)
+    shows plain's lead persisting through every locally measurable size —
+    recalibrate on the target cluster before lowering it.  The skew rule
+    only fires above 10^6 postings (below that even a fully-skewed stream
+    is trivially small; measured: at 0.5M postings and 0.6 skew, prefix
+    still loses 2×).
     """
     if num_postings >= min_postings:
         return "prefix"
@@ -179,7 +190,7 @@ def suggest_topk_auto(
     dictionary: DataFrame | None = None,
     stats=None,
     min_postings: int = 100_000_000,
-    skew_ratio: float = 0.25,
+    skew_ratio: float = 0.6,
 ) -> DataFrame:
     """Top-k suggest with automatic physical-plan selection.
 

@@ -30,10 +30,14 @@ def test_select_suggest_plan_unit():
     # measured regime: 236k-entry dictionary / 2.4M postings → plain wins
     # (suggest_topk_prefix docstring numbers)
     assert select_suggest_plan(236_000, 2_400_000, 5_000) == "plain"
+    # measured skew crossover (bench_out/CALIBRATION_suggest.json): at 25%
+    # skew plain still wins ~2x, at ~60% prefix crosses over — the selector's
+    # default skew_ratio is the measured 0.6, so 0.25 skew stays plain
+    assert select_suggest_plan(1_000_000, 5_000_000, 255_000) == "plain"
     # web-scale posting count → prefix
     assert select_suggest_plan(10**9, 10**10, 10**4) == "prefix"
-    # hot-gram skew (40% of docs share one gram) above the postings floor
-    assert select_suggest_plan(1_000_000, 5_000_000, 400_000) == "prefix"
+    # hot-gram skew (65% of docs share one gram) above the postings floor
+    assert select_suggest_plan(1_000_000, 5_000_000, 650_000) == "prefix"
     # identical skew ratio below the floor: stream is tiny, stay plain
     assert select_suggest_plan(100, 5_000, 40) == "plain"
     # thresholds are per-cluster tunable
