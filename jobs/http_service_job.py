@@ -75,15 +75,25 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
         except Exception as e:  # the Go loop logs and keeps serving
             print(f"Fail to reload index {e}")
 
+    stopped = threading.Event()
+
     def _worker():
-        while True:
+        while not stopped.is_set():
             wake.wait()
+            if stopped.is_set():
+                return
             idle.clear()
             try:
                 _run_once()
+            except BaseException as e:  # noqa: BLE001 — the worker must not die
+                # SystemExit/KeyboardInterrupt raised inside reindex_job would
+                # otherwise kill the ONLY worker, after which every future
+                # SIGHUP sets the event into a void and the service serves a
+                # stale index forever (the round-3 design re-spawned workers
+                # per signal and so self-healed; this one must be immortal)
+                print(f"Fail to reload index {e!r}")
             finally:
-                # BaseException-safe: never park with work pending or report
-                # idle while a follow-up is due
+                # never park with work pending or report idle too early
                 if not wake.is_set():
                     idle.set()
 
@@ -117,8 +127,14 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
             time.sleep(0.02)
         return False
 
+    def stop() -> None:
+        """Retire the worker (tests / re-installs: keeps repeated installs
+        from accumulating parked threads)."""
+        stopped.set()
+        wake.set()
+
     signal.signal(signal.SIGHUP, _on_hup)
-    return {"thread": t, "wait_idle": wait_idle}
+    return {"thread": t, "wait_idle": wait_idle, "stop": stop}
 
 
 def main() -> None:

@@ -447,23 +447,12 @@ class SuggestService:
         (service.go:105-139).  Physical plan is auto-selected from the
         entry's persisted planner stats when present (indexer-job artifacts
         or refresh_stats); without stats the plain plan runs — both return
-        identical rows."""
-        e = self._get(name)
-        q = self.spark.createDataFrame([(0, query)], "query_id long, query string")
-        rows = suggest_topk_auto(
-            e.index, q, metric, similarity, topk, e.config,
-            dictionary=e.dictionary, stats=e.stats,
-        ).collect()
-        return [(r["score"], r["value"]) for r in rows]
+        identical rows.  A batch of one: same plan, one unpacking path."""
+        return self.suggest_batch(name, [query], metric, similarity, topk)[0]
 
     def autocomplete(self, name: str, query: str, topk: int) -> list[str]:
         """First-k values in docID order (service.go:142-173)."""
-        e = self._get(name)
-        q = self.spark.createDataFrame([(0, query)], "query_id long, query string")
-        rows = autocomplete_firstk(
-            e.index, q, topk, e.config, dictionary=e.dictionary
-        ).collect()
-        return [r["value"] for r in rows]
+        return self.autocomplete_batch(name, [query], topk)[0]
 
     # -- batched queries (one Spark job for N concurrent requests) ----------
     #

@@ -84,9 +84,12 @@ def read_manifest(spark: SparkSession, base: str, version: int | None = None) ->
     When resolving CURRENT, a manifest that exists but does not parse (a
     torn or zero-length file — impossible under the rename-based committer,
     but reachable via a non-atomic injected committer or a pre-round-4 log)
-    falls back to the next-lower version: the previous snapshot is always a
-    consistent read, and the grace-period GC guarantees its data files still
-    exist.  An EXPLICITLY requested version still raises on corruption."""
+    falls back to the next-lower version: a ONE-step fallback is always a
+    consistent read whose data files the grace-period GC still guarantees.
+    Deeper fallbacks (several consecutive torn commits) are best-effort —
+    data older than the GC keep-window may be gone; with the default atomic
+    committer this path never executes.  An EXPLICITLY requested version
+    still raises on corruption."""
     if version is not None:
         return json.loads(fsutil.read_text(spark, _manifest_path(base, version)))
     versions = list_manifest_versions(spark, base)
@@ -509,7 +512,15 @@ def gc_versions(
     ]
     referenced: set[int] = set(kept_manifests)
     for m in kept_manifests:
-        referenced |= set(read_manifest(spark, base, m)["partitions"].values())
+        try:
+            referenced |= set(read_manifest(spark, base, m)["partitions"].values())
+        except ValueError:
+            # a torn manifest inside the keep window (reachable only via a
+            # non-atomic injected committer or a pre-round-4 log): no reader
+            # can resolve it (read_manifest falls back past it), so it
+            # protects nothing — and GC must keep RUNNING, or every mutator's
+            # post-commit GC raises until the torn file ages out
+            continue
     deleted = []
     for name in fsutil.list_names(spark, base):
         if name.startswith("v="):

@@ -33,6 +33,12 @@ import threading
 from dataclasses import dataclass, field
 
 
+def _as_exception(e: BaseException) -> Exception:
+    """Callers re-raise stored errors; a BaseException (SystemExit, ...)
+    must not escape an HTTP worker thread as-is."""
+    return e if isinstance(e, Exception) else RuntimeError(repr(e))
+
+
 @dataclass
 class _Pending:
     key: tuple
@@ -51,12 +57,20 @@ class RequestCoalescer:
     the next round — backpressure, not rejection).
     """
 
-    def __init__(self, service, max_batch: int = 512):
+    def __init__(self, service, max_batch: int = 512, group_workers: int = 4):
         self._service = service
         self._max_batch = max_batch
         self._lock = threading.Lock()
         self._queue: list[_Pending] = []
         self._wake = threading.Event()
+        # distinct parameter groups in one drain run CONCURRENTLY (Spark
+        # schedules jobs from multiple threads fine) — otherwise dictionary
+        # B's callers wait head-of-line behind dictionary A's whole job
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._group_pool = ThreadPoolExecutor(
+            max_workers=group_workers, thread_name_prefix="suggest-coalescer-group"
+        )
         self._dispatcher = threading.Thread(
             target=self._run, daemon=True, name="suggest-coalescer"
         )
@@ -89,21 +103,35 @@ class RequestCoalescer:
 
     def _run(self):
         while True:
-            self._wake.wait()
-            with self._lock:
-                batch, self._queue = (
-                    self._queue[: self._max_batch],
-                    self._queue[self._max_batch :],
-                )
-                if not self._queue:
-                    self._wake.clear()
-            if not batch:
-                continue
-            groups: dict[tuple, list[_Pending]] = {}
-            for req in batch:
-                groups.setdefault(req.key, []).append(req)
-            for key, reqs in groups.items():
-                self._dispatch(key, reqs)
+            batch: list[_Pending] = []
+            try:
+                self._wake.wait()
+                with self._lock:
+                    batch, self._queue = (
+                        self._queue[: self._max_batch],
+                        self._queue[self._max_batch :],
+                    )
+                    if not self._queue:
+                        self._wake.clear()
+                if not batch:
+                    continue
+                groups: dict[tuple, list[_Pending]] = {}
+                for req in batch:
+                    groups.setdefault(req.key, []).append(req)
+                futures = [
+                    self._group_pool.submit(self._dispatch, key, reqs)
+                    for key, reqs in groups.items()
+                ]
+                for f in futures:  # one drain in flight at a time: natural
+                    f.result()  # backpressure, and the NEXT batch window is
+                    # exactly the current jobs' latency (module docstring)
+            except BaseException as e:  # noqa: BLE001 — the ONLY dispatcher:
+                # if it died, every current and future caller would block
+                # forever on done.wait(); fail the drained batch instead
+                for req in batch:
+                    if not req.done.is_set():
+                        req.error = _as_exception(e)
+                        req.done.set()
 
     def _dispatch(self, key: tuple, reqs: list[_Pending]) -> None:
         queries = [r.query for r in reqs]
@@ -118,10 +146,16 @@ class RequestCoalescer:
             else:
                 _, name, topk = key
                 results = self._service.autocomplete_batch(name, queries, topk)
+            if len(results) != len(reqs):  # a short list must not strand the
+                # surplus callers on done.wait() forever
+                raise RuntimeError(
+                    f"batch returned {len(results)} results for {len(reqs)} queries"
+                )
             for req, res in zip(reqs, results):
                 req.result = res
                 req.done.set()
-        except Exception as e:  # propagate to EVERY caller in the group
+        except BaseException as e:  # propagate to EVERY caller in the group
             for req in reqs:
-                req.error = e
-                req.done.set()
+                if not req.done.is_set():
+                    req.error = _as_exception(e)
+                    req.done.set()

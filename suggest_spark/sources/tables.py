@@ -66,9 +66,12 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame, key: str =
     import uuid
 
     # the table name is the one identifier backticks cannot fully launder
-    # (it may be catalog.db.table); validate it instead of interpolating an
-    # arbitrary string into SQL
-    if not re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){0,2}", table):
+    # (it is dotted: catalog.namespace...table, and Iceberg REST catalogs
+    # nest namespaces arbitrarily deep); validate each part instead of
+    # interpolating an arbitrary string into SQL.  Parts needing backtick
+    # quoting (hyphens etc.) are rejected — pass them pre-quoted is NOT
+    # supported, by design (a quoted part could smuggle SQL).
+    if not re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", table):
         raise ValueError(f"unsafe table identifier: {table!r}")
 
     def _q(c: str) -> str:  # backtick-quote a column identifier

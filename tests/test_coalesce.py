@@ -93,6 +93,13 @@ def test_coalesced_http_routes_match_direct_path(spark):
     )
     svc.add_ram_index("cars", dictionary)
 
+    direct = create_app(svc)
+    direct.testing = True
+    qs = {"metric": "Jaccard", "similarity": 0.5, "topK": 5}
+    # golden BEFORE instrumenting: the per-request path is itself a batch of
+    # one since round 4, so it would otherwise count against the coalescer
+    want = direct.test_client().get("/suggest/cars/Nissan March/", query_string=qs)
+
     calls = []
     real_batch = svc.suggest_batch
 
@@ -103,11 +110,6 @@ def test_coalesced_http_routes_match_direct_path(spark):
     svc.suggest_batch = counting_batch
     app = create_app(svc, coalesce=True)
     app.testing = True
-
-    direct = create_app(svc)
-    direct.testing = True
-    qs = {"metric": "Jaccard", "similarity": 0.5, "topK": 5}
-    want = direct.test_client().get("/suggest/cars/Nissan March/", query_string=qs)
 
     n = 8
     got = [None] * n
@@ -126,3 +128,41 @@ def test_coalesced_http_routes_match_direct_path(spark):
     assert app.test_client().get(
         "/suggest/nope/x/", query_string=qs
     ).status_code == 500
+
+
+def test_dispatcher_survives_base_exceptions_and_short_results():
+    """Review findings: a BaseException from the service, or a batch result
+    list shorter than the request group, must error the affected callers —
+    never kill the dispatcher or strand a caller on done.wait()."""
+
+    class _Hostile(_RecordingService):
+        def __init__(self):
+            super().__init__(job_sec=0.0)
+            self.mode = "ok"
+
+        def suggest_batch(self, name, queries, metric, similarity, topk):
+            if self.mode == "exit":
+                raise SystemExit(3)
+            if self.mode == "short":
+                return [[(1.0, "only-one")]][: max(0, len(queries) - 1)] or []
+            return super().suggest_batch(name, queries, metric, similarity, topk)
+
+    svc = _Hostile()
+    co = RequestCoalescer(svc)
+
+    svc.mode = "exit"
+    try:
+        co.suggest("cars", "a", _FakeMetric(), 0.5, 5)
+        raise AssertionError("expected an error")
+    except Exception as e:
+        assert "SystemExit" in repr(e)
+
+    svc.mode = "short"
+    try:
+        co.suggest("cars", "b", _FakeMetric(), 0.5, 5)
+        raise AssertionError("expected an error")
+    except RuntimeError as e:
+        assert "results" in str(e)
+
+    svc.mode = "ok"  # the dispatcher is still alive and serving
+    assert co.suggest("cars", "c", _FakeMetric(), 0.5, 5) == [(1.0, "echo:c")]

@@ -220,3 +220,29 @@ def test_sighup_coalesces_to_one_followup_run():
     time.sleep(0.2)  # a third run, were one wrongly queued, would start now
     assert state["wait_idle"](30)
     assert len(runs) == 2  # initial + exactly one coalesced follow-up
+
+
+def test_sighup_worker_survives_base_exception():
+    """Review finding: a SystemExit escaping reindex_job must not kill the
+    single long-lived worker — later SIGHUPs still reindex."""
+    import threading
+    import time
+
+    from jobs.http_service_job import install_sighup_reindex
+
+    runs = []
+
+    def reindex_job():
+        runs.append(time.time())
+        if len(runs) == 1:
+            raise SystemExit(2)
+
+    state = install_sighup_reindex(reindex_job)
+    try:
+        os.kill(os.getpid(), signal.SIGHUP)
+        assert state["wait_idle"](30)
+        os.kill(os.getpid(), signal.SIGHUP)
+        assert state["wait_idle"](30)
+        assert len(runs) == 2 and state["thread"].is_alive()
+    finally:
+        state["stop"]()

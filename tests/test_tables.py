@@ -66,7 +66,7 @@ def test_merge_upsert_rejects_unsafe_identifiers(spark):
     with _pytest.raises(ValueError, match="unsafe table identifier"):
         merge_upsert(spark, "pages; DROP TABLE x", updates)
     with _pytest.raises(ValueError, match="unsafe table identifier"):
-        merge_upsert(spark, "a.b.c.d", updates)  # >3 name parts
+        merge_upsert(spark, "a.`b`.c", updates)  # pre-quoted parts rejected
 
 
 def test_iceberg_writeto_and_merge_upsert(spark):
