@@ -314,6 +314,40 @@ FROM toks t JOIN sized s USING (doc_id)
 """
 
 
+def q_dict_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed copy-on-write dictionary maintenance under the value-hash
+    gate (round-4: operators/versioned.py bucketed tables — the dictionary
+    analogue of the index upsert's partition-granular rewrite): write the
+    doc_id<200 dictionary key-bucketed, upsert (replace doc 10, add a new
+    doc, delete doc 20) touching only the affected buckets, and return the
+    FINAL ON-DISK table — the oracle rebuilds the post-upsert dictionary
+    from scratch, so a stale bucket or a lost row hash-mismatches."""
+    import tempfile
+
+    from suggest_spark.operators.versioned import (
+        read_versioned_table,
+        upsert_versioned_bucketed_table,
+        write_versioned_bucketed_table,
+    )
+
+    dictionary = _part_dictionary(spark, sf_dir).where(F.col("doc_id") < 200)
+    base = tempfile.mkdtemp(prefix="dict_gate_") + "/dict"
+    write_versioned_bucketed_table(dictionary, base, n_buckets=16)
+    new_docs = spark.createDataFrame(_UPSERT_NEW, "doc_id long, value string")
+    deleted = spark.createDataFrame([(i,) for i in _UPSERT_DELETED], "doc_id long")
+    upsert_versioned_bucketed_table(spark, base, new_docs, deleted_keys=deleted)
+    return read_versioned_table(spark, base).select("doc_id", "value")
+
+
+SQL_DICT_BUCKETED_UPSERT = f"""
+SELECT p_partkey AS doc_id, p_name AS value FROM part
+WHERE p_partkey < 200 AND p_partkey NOT IN ({_upsert_gone})
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), value
+FROM (VALUES {_upsert_values}) AS t(doc_id, value)
+"""
+
+
 def q_selfjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity self-join (near-dup part names): the blocking+scoring
     semantics as one pure-SQL-expressible plan (T-occurrence count filter
@@ -1258,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_firstk": q_autocomplete(5),
         "ngram_index_build": q_index_build,
         "ngram_index_upsert": q_index_upsert,
+        "dict_bucketed_upsert": q_dict_bucketed_upsert,
         "selfjoin_jaccard": q_selfjoin_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1302,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "autocomplete_firstk": sql_autocomplete(5),
         "ngram_index_build": SQL_INDEX_BUILD,
         "ngram_index_upsert": SQL_INDEX_UPSERT,
+        "dict_bucketed_upsert": SQL_DICT_BUCKETED_UPSERT,
         "selfjoin_jaccard": SQL_SELFJOIN_JACCARD,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
