@@ -409,14 +409,19 @@ def main() -> None:
     cal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_out", "CALIBRATION_suggest.json")
     if os.path.exists(cal_path):
-        with open(cal_path) as f:
-            cal = json.load(f)
-        extra["suggest_plan_calibration"] = {
-            "skew_crossover_max_df_ratio_by_scale": cal[
-                "skew_crossover_max_df_ratio_by_scale"
-            ],
-            "largest_scale_trend": cal["largest_scale_trend"],
-        }
+        try:
+            with open(cal_path) as f:
+                cal = json.load(f)
+            extra["suggest_plan_calibration"] = {
+                "skew_crossover_max_df_ratio_by_scale": cal[
+                    "skew_crossover_max_df_ratio_by_scale"
+                ],
+                "largest_scale_trend": cal["largest_scale_trend"],
+            }
+        except (ValueError, KeyError) as e:
+            # a stale/partial calibration file must degrade to "no detail
+            # block", never abort the whole bench run
+            extra["suggest_plan_calibration"] = {"unreadable": repr(e)}
 
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: suggest_words joined the headline in

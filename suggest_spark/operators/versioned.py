@@ -57,6 +57,13 @@ from ..config import DEFAULT_CONFIG, IndexConfig
 from ..sources import fsutil
 from .indexing import build_ngram_index
 
+try:  # py4j wraps JVM-side FS read failures in its own exception type
+    from py4j.protocol import Py4JError
+
+    _MANIFEST_READ_ERRORS = (ValueError, OSError, Py4JError)
+except ImportError:  # pragma: no cover — py4j ships with pyspark
+    _MANIFEST_READ_ERRORS = (ValueError, OSError)
+
 INDEX_SCHEMA = "doc_id long, size int, term string"
 _MANIFEST_DIR = "_manifests"
 
@@ -98,7 +105,12 @@ def read_manifest(spark: SparkSession, base: str, version: int | None = None) ->
     for v in reversed(versions):
         try:
             return json.loads(fsutil.read_text(spark, _manifest_path(base, v)))
-        except ValueError:  # json.JSONDecodeError ⊂ ValueError
+        except _MANIFEST_READ_ERRORS:
+            # ValueError ⊃ JSONDecodeError (torn file); OSError/Py4JError ⊂
+            # a manifest deleted by a concurrent gc_versions between the
+            # listing and this read — the fallback exists precisely to
+            # survive that window, so step down a version instead of failing
+            # a read the grace GC still guarantees
             if v == versions[0]:
                 raise
     raise FileNotFoundError(f"no readable manifest under {base}/{_MANIFEST_DIR}")
@@ -309,6 +321,20 @@ def _bucket_col(key_col, n_buckets: int):
     return (F.crc32(F.col(key_col).cast("string")) % n_buckets).cast("int")
 
 
+def _check_bucket_key(manifest: dict, key_col: str, base: str) -> None:
+    """The manifest pins the bucketing key exactly like ``n_buckets`` — a
+    writer bucketing on a DIFFERENT column would compute touched buckets on
+    the wrong values, leaving replaced/deleted rows stale in their original
+    buckets (silent duplicates on read).  Mismatches raise instead."""
+    stored = manifest.get("key")
+    if stored is not None and stored != key_col:
+        raise ValueError(
+            f"{base} was bucketed on key {stored!r}; writing with "
+            f"key_col={key_col!r} would leave stale rows in {stored!r}-keyed "
+            "buckets — pass the table's own key"
+        )
+
+
 def _buckets_written(spark: SparkSession, data_dir: str) -> list[int]:
     return sorted(
         int(n.split("=", 1)[1])
@@ -330,9 +356,11 @@ def write_versioned_bucketed_table(
     not silently re-bucket a table its upserts co-own)."""
     spark = df.sparkSession
     try:
-        n_buckets = read_manifest(spark, base).get("n_buckets", n_buckets)
+        existing = read_manifest(spark, base)
     except FileNotFoundError:
-        pass
+        existing = {}
+    n_buckets = existing.get("n_buckets", n_buckets)
+    _check_bucket_key(existing, key_col, base)
     version = _next_version(spark, base)
     data_dir = _data_dir(base, version)
     (
@@ -390,6 +418,8 @@ def upsert_versioned_bucketed_table(
         current = read_manifest(spark, base)
     except FileNotFoundError:
         current = None
+    if current is not None:
+        _check_bucket_key(current, key_col, base)
 
     drop_keys = new_rows.select(F.col(key_col).alias(key_col))
     if deleted_keys is not None:
@@ -515,6 +545,9 @@ def gc_versions(
         try:
             referenced |= set(read_manifest(spark, base, m)["partitions"].values())
         except ValueError:
+            # ValueError ONLY (torn file): a TRANSIENT read failure (OSError/
+            # Py4JError) must abort the GC instead — skipping a kept manifest
+            # on a flaky read would delete versions it still references.
             # a torn manifest inside the keep window (reachable only via a
             # non-atomic injected committer or a pre-round-4 log): no reader
             # can resolve it (read_manifest falls back past it), so it

@@ -14,11 +14,13 @@ coalescer:
 * ONE dispatcher thread drains everything queued, groups by identical
   search parameters ``(kind, dict, metric, similarity, topk)``, and runs a
   single ``suggest_batch``/``autocomplete_batch`` job per group;
-* while that job runs, new arrivals pile up in the queue and form the next
-  batch — the batch window is the previous job's own latency, so throughput
-  scales with concurrency at roughly constant per-batch cost (the measured
-  batched rate is 300-400 q/s at sf0.1 vs ~1 q/s for serial per-request
-  jobs).
+* while a group's job runs, new arrivals FOR THAT KEY pile up in the queue
+  and form its next batch — each key's batch window is its own previous
+  job's latency (groups are tracked in flight individually, so a slow
+  dictionary never head-of-line blocks another group's next batch) — and
+  throughput scales with concurrency at roughly constant per-batch cost
+  (the measured batched rate is 300-400 q/s at sf0.1 vs ~1 q/s for serial
+  per-request jobs).
 
 No timed window is needed (and none is used): a lone request dispatches
 immediately — its latency is one Spark job, same as the uncoalesced path.
@@ -62,6 +64,7 @@ class RequestCoalescer:
         self._max_batch = max_batch
         self._lock = threading.Lock()
         self._queue: list[_Pending] = []
+        self._inflight: set[tuple] = set()  # keys with a dispatch running
         self._wake = threading.Event()
         # distinct parameter groups in one drain run CONCURRENTLY (Spark
         # schedules jobs from multiple threads fine) — otherwise dictionary
@@ -103,35 +106,60 @@ class RequestCoalescer:
 
     def _run(self):
         while True:
-            batch: list[_Pending] = []
+            pending_submit: list[tuple[tuple, list[_Pending]]] = []
             try:
                 self._wake.wait()
                 with self._lock:
-                    batch, self._queue = (
-                        self._queue[: self._max_batch],
-                        self._queue[self._max_batch :],
-                    )
-                    if not self._queue:
-                        self._wake.clear()
-                if not batch:
-                    continue
-                groups: dict[tuple, list[_Pending]] = {}
-                for req in batch:
-                    groups.setdefault(req.key, []).append(req)
-                futures = [
-                    self._group_pool.submit(self._dispatch, key, reqs)
-                    for key, reqs in groups.items()
-                ]
-                for f in futures:  # one drain in flight at a time: natural
-                    f.result()  # backpressure, and the NEXT batch window is
-                    # exactly the current jobs' latency (module docstring)
+                    # claim, PER KEY, everything queued for keys with no
+                    # dispatch in flight (up to max_batch each); a key whose
+                    # previous job is still running keeps its arrivals queued
+                    # — its next batch window is ITS OWN job's latency, and a
+                    # slow dictionary never head-of-line blocks another key's
+                    # next batch (each group re-drains independently via the
+                    # completion wake below)
+                    claimed: dict[tuple, list[_Pending]] = {}
+                    rest: list[_Pending] = []
+                    for req in self._queue:
+                        if req.key not in self._inflight and (
+                            len(claimed.setdefault(req.key, [])) < self._max_batch
+                        ):
+                            claimed[req.key].append(req)
+                        else:
+                            rest.append(req)
+                    self._queue = rest
+                    self._inflight |= set(claimed)
+                    # always clear: leftovers for in-flight keys are re-woken
+                    # by that key's completion, new arrivals re-set the event
+                    # — leaving it set would spin this loop on a queue that
+                    # has nothing dispatchable yet
+                    self._wake.clear()
+                pending_submit = list(claimed.items())
+                while pending_submit:
+                    key, reqs = pending_submit[0]
+                    self._group_pool.submit(self._dispatch_group, key, reqs)
+                    pending_submit.pop(0)
             except BaseException as e:  # noqa: BLE001 — the ONLY dispatcher:
                 # if it died, every current and future caller would block
-                # forever on done.wait(); fail the drained batch instead
-                for req in batch:
-                    if not req.done.is_set():
-                        req.error = _as_exception(e)
-                        req.done.set()
+                # forever on done.wait(); fail the not-yet-submitted groups
+                # (submitted ones complete through _dispatch_group as usual)
+                with self._lock:
+                    for key, _ in pending_submit:
+                        self._inflight.discard(key)
+                for _, reqs in pending_submit:
+                    for req in reqs:
+                        if not req.done.is_set():
+                            req.error = _as_exception(e)
+                            req.done.set()
+
+    def _dispatch_group(self, key: tuple, reqs: list[_Pending]) -> None:
+        """Pool-side wrapper: run the group's job, then free the key and
+        re-wake the dispatcher so arrivals queued behind this key drain."""
+        try:
+            self._dispatch(key, reqs)
+        finally:
+            with self._lock:
+                self._inflight.discard(key)
+            self._wake.set()
 
     def _dispatch(self, key: tuple, reqs: list[_Pending]) -> None:
         queries = [r.query for r in reqs]

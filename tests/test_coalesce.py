@@ -166,3 +166,42 @@ def test_dispatcher_survives_base_exceptions_and_short_results():
 
     svc.mode = "ok"  # the dispatcher is still alive and serving
     assert co.suggest("cars", "c", _FakeMetric(), 0.5, 5) == [(1.0, "echo:c")]
+
+
+def test_slow_group_does_not_block_other_groups_next_batches():
+    """ADVICE r4: the dispatcher must NOT barrier a whole drain on every
+    group's future — while dictionary A's slow job runs, dictionary B must
+    keep getting fresh dispatches (B's batch window is B's own job latency,
+    not A's)."""
+    slow_started = threading.Event()
+    release_slow = threading.Event()
+
+    class _TwoSpeed(_RecordingService):
+        def __init__(self):
+            super().__init__(job_sec=0.0)
+
+        def suggest_batch(self, name, queries, metric, similarity, topk):
+            if name == "slow":
+                slow_started.set()
+                assert release_slow.wait(30)
+            return super().suggest_batch(name, queries, metric, similarity, topk)
+
+    svc = _TwoSpeed()
+    co = RequestCoalescer(svc)
+    slow_result = {}
+
+    def slow_call():
+        slow_result["r"] = co.suggest("slow", "s", _FakeMetric(), 0.5, 5)
+
+    t = threading.Thread(target=slow_call)
+    t.start()
+    assert slow_started.wait(10)
+    # with the slow group's job IN FLIGHT, several sequential fast requests
+    # must each complete (each one is a fresh dispatch for the fast key)
+    for i in range(3):
+        assert co.suggest("fast", f"q{i}", _FakeMetric(), 0.5, 5) == [
+            (1.0, f"echo:q{i}")
+        ]
+    release_slow.set()
+    t.join(10)
+    assert slow_result["r"] == [(1.0, "echo:s")]

@@ -172,3 +172,27 @@ def test_injected_conditional_put_committer_lost_race(spark, tmp_path):
         set_manifest_committer(previous)
     assert sorted(outcomes) == ["lost", "ok"]
     assert read_manifest(spark, base)["version"] == 2
+
+
+def test_read_manifest_falls_back_on_vanished_current(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a manifest file deleted by a concurrent gc_versions between
+    list_manifest_versions and the read raises an IO/FS error, not
+    ValueError — the current-version fallback must survive it too."""
+    import suggest_spark.operators.versioned as versioned
+
+    base = str(tmp_path / "idx")
+    m1 = _write_v1(spark, base)
+    d = spark.createDataFrame(DICT + [(2, "Honda Fit")], "doc_id long, value string")
+    m2 = write_versioned_index(build_ngram_index(d), base)
+    assert m2["version"] == m1["version"] + 1
+
+    real_read = fsutil.read_text
+    gone = versioned._manifest_path(base, m2["version"])
+
+    def vanishing_read(s, path):
+        if path == gone:
+            raise FileNotFoundError(path)  # GC'd between listing and read
+        return real_read(s, path)
+
+    monkeypatch.setattr(versioned.fsutil, "read_text", vanishing_read)
+    assert read_manifest(spark, base)["version"] == m1["version"]

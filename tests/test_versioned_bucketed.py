@@ -176,3 +176,25 @@ def test_bucketed_read_empty_raises(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         read_versioned_bucketed_table(spark, base)
+
+
+def test_bucketed_key_mismatch_raises(spark, tmp_path):
+    """The manifest pins the bucketing key (like n_buckets): writing or
+    upserting with a different key_col must raise, not silently compute
+    touched buckets on the wrong column (stale rows in the old buckets)."""
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "term long, value string")
+    write_versioned_bucketed_table(df, base, key_col="term", n_buckets=4)
+
+    more = spark.createDataFrame([(1, "A")], "term long, value string")
+    with pytest.raises(ValueError, match="bucketed on key 'term'"):
+        upsert_versioned_bucketed_table(spark, base, more)  # default doc_id
+    with pytest.raises(ValueError, match="bucketed on key 'term'"):
+        write_versioned_bucketed_table(df, base, key_col="value")
+    # the table's own key still works
+    upsert_versioned_bucketed_table(spark, base, more, key_col="term")
+    got = sorted(
+        (r["term"], r["value"])
+        for r in read_versioned_bucketed_table(spark, base).collect()
+    )
+    assert got == [(1, "A"), (2, "b")]
