@@ -61,6 +61,18 @@ class _Entry:
     # would serve upserted docs with null values and a later rebuild from
     # the stale artifact would silently drop them
     dict_path: str | None = None
+    # serving hot state, built by warm()/enable_hot_replica() and NEVER
+    # carried across a mutator swap (a post-upsert entry must not serve a
+    # pre-upsert value or posting — mutators install entries without these,
+    # and the operator re-warms after mutating):
+    # value_map — driver-side {doc_id: value}; lets the serving batch path
+    #   skip the per-request dictionary broadcast (the single biggest
+    #   per-request cost on a large dictionary) and resolve the ≤ k·|batch|
+    #   result values in Python.
+    # replica — serving.replica.HotReplica: the full in-driver index
+    #   snapshot for millisecond lone requests (reference mmap parity).
+    value_map: dict | None = None
+    replica: object | None = None
 
 
 class SuggestService:
@@ -396,6 +408,11 @@ class SuggestService:
                     stats=stats,
                     stats_path=stats_path,
                     dict_path=e.dict_path,
+                    # metadata-only swap over the SAME data: hot serving
+                    # state stays valid (unlike the mutator swaps, which
+                    # must drop it)
+                    value_map=e.value_map,
+                    replica=e.replica,
                 ),
             )
             return written
@@ -433,7 +450,14 @@ class SuggestService:
         with self._lock:
             return sorted(self._entries)
 
-    def warm(self, name: str, metrics=None, query: str = "warm", topk: int = 3) -> dict:
+    def warm(
+        self,
+        name: str,
+        metrics=None,
+        query: str = "warm",
+        topk: int = 3,
+        value_map_max_rows: int = 2_000_000,
+    ) -> dict:
         """Pre-warm the serving path for ``name`` so a user's FIRST lone
         request doesn't pay the one-time costs: whole-stage-codegen
         compilation of the suggest/autocomplete plan shapes, materialization
@@ -452,16 +476,34 @@ class SuggestService:
         reference's mmap-resident index, ngram_index_test.go:112-139).
         Registration-time cost, not request-time: jobs/http_service_job
         runs it per dictionary at boot and after every reindex/upsert swap
-        (a swap installs fresh uncached frames, so re-warm after mutating)."""
+        (a swap installs fresh uncached frames, so re-warm after mutating).
+
+        When the dictionary has ≤ ``value_map_max_rows`` rows it is also
+        collected into a driver-side ``{doc_id: value}`` map, after which
+        serving requests resolve result values in Python instead of
+        broadcast-joining the whole dictionary per request — the single
+        biggest per-request cost on a large dictionary.  Mutator swaps drop
+        the map (it describes the pre-mutation snapshot); pass 0 to skip."""
+        import dataclasses
         import time as _time
 
         from ..functions.metrics import METRICS
 
-        e = self._get(name)
-        if not e.index.is_cached:
-            e.index.cache()
-        if not e.dictionary.is_cached:
-            e.dictionary.cache()
+        with self._mutate:  # value_map must describe the entry it's swapped
+            # into — never interleave with an upsert's read-compute-swap
+            e = self._get(name)
+            if not e.index.is_cached:
+                e.index.cache()
+            if not e.dictionary.is_cached:
+                e.dictionary.cache()
+            if e.value_map is None and value_map_max_rows > 0:
+                if e.dictionary.count() <= value_map_max_rows:
+                    vm = {
+                        r["doc_id"]: r["value"]
+                        for r in e.dictionary.select("doc_id", "value").collect()
+                    }
+                    e = dataclasses.replace(e, value_map=vm)
+                    self._swap(name, e)
         timings: dict[str, float] = {}
         t0 = _time.time()
         self.autocomplete_batch(name, [query], topk)
@@ -471,6 +513,42 @@ class SuggestService:
             self.suggest_batch(name, [query], metric, 0.5, topk)
             timings[f"suggest_{metric.name}"] = round(_time.time() - t0, 4)
         return timings
+
+    def enable_hot_replica(self, name: str, max_postings: int | None = None) -> dict:
+        """Install an in-driver :class:`~suggest_spark.serving.replica.
+        HotReplica` of the entry's CURRENT snapshot: lone suggest /
+        autocomplete requests then answer in ~a millisecond instead of one
+        Spark job (~1-3 s) — the reference's own serve-from-process-memory
+        architecture (app.go:73-77), fed by the distributed build, verified
+        row-identical by tests/test_replica.py.
+
+        Raises ``ValueError`` when the index exceeds ``max_postings``
+        (driver-memory bound — corpus-scale entries stay on the Spark path
+        behind the request coalescer).  MUTATORS DROP THE REPLICA: a
+        rebuild/upsert installs an entry without one, so queries fall back
+        to the (always-correct) Spark path until the operator re-enables it
+        — a replica can never serve a pre-mutation snapshot.  Returns
+        ``{"n_postings", "build_sec"}``."""
+        import time as _time
+
+        from ..serving.replica import DEFAULT_MAX_POSTINGS, HotReplica
+
+        with self._mutate:  # snapshot must describe the entry it lands on
+            import dataclasses
+
+            e = self._get(name)
+            t0 = _time.time()
+            replica = HotReplica.from_frames(
+                e.index,
+                e.dictionary,
+                e.config,
+                max_postings=max_postings or DEFAULT_MAX_POSTINGS,
+            )
+            self._swap(name, dataclasses.replace(e, replica=replica))
+            return {
+                "n_postings": replica.n_postings,
+                "build_sec": round(_time.time() - t0, 3),
+            }
 
     # -- queries -----------------------------------------------------------
 
@@ -511,18 +589,33 @@ class SuggestService:
         topk: int,
     ) -> list[list[tuple[float, str]]]:
         """Per-query top-k lists, aligned with ``queries`` — row-identical to
-        N single :meth:`suggest` calls (same plan, same final ordering)."""
+        N single :meth:`suggest` calls (same plan, same final ordering).
+
+        Serving fast paths (both result-identical, enforced by goldens):
+        a hot replica (:meth:`enable_hot_replica`) answers entirely
+        in-driver; else a warm ``value_map`` lets the Spark job skip the
+        per-request dictionary broadcast, and the ≤ k·|batch| result rows
+        are sorted driver-side (``ordered=False`` skips the range-sampling
+        job + sort exchange every request would otherwise pay)."""
         e = self._get(name)
+        if e.replica is not None:
+            return [e.replica.suggest(q, metric, similarity, topk) for q in queries]
         q = self.spark.createDataFrame(
             list(enumerate(queries)), "query_id long, query string"
         )
         rows = suggest_topk_auto(
             e.index, q, metric, similarity, topk, e.config,
-            dictionary=e.dictionary, stats=e.stats,
+            dictionary=None if e.value_map is not None else e.dictionary,
+            stats=e.stats, ordered=False,
         ).collect()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
         out: list[list[tuple[float, str]]] = [[] for _ in queries]
-        for r in rows:  # globally ordered by (query_id, rank)
-            out[r["query_id"]].append((r["score"], r["value"]))
+        if e.value_map is not None:
+            for r in rows:
+                out[r["query_id"]].append((r["score"], e.value_map.get(r["doc_id"])))
+        else:
+            for r in rows:
+                out[r["query_id"]].append((r["score"], r["value"]))
         return out
 
     def autocomplete_batch(
@@ -530,13 +623,22 @@ class SuggestService:
     ) -> list[list[str]]:
         """Per-query first-k lists, aligned with ``queries``."""
         e = self._get(name)
+        if e.replica is not None:
+            return [e.replica.autocomplete(q, topk) for q in queries]
         q = self.spark.createDataFrame(
             list(enumerate(queries)), "query_id long, query string"
         )
         rows = autocomplete_firstk(
-            e.index, q, topk, e.config, dictionary=e.dictionary
+            e.index, q, topk, e.config,
+            dictionary=None if e.value_map is not None else e.dictionary,
+            ordered=False,
         ).collect()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
         out: list[list[str]] = [[] for _ in queries]
-        for r in rows:
-            out[r["query_id"]].append(r["value"])
+        if e.value_map is not None:
+            for r in rows:
+                out[r["query_id"]].append(e.value_map.get(r["doc_id"]))
+        else:
+            for r in rows:
+                out[r["query_id"]].append(r["value"])
         return out

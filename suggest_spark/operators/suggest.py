@@ -64,6 +64,7 @@ def suggest_topk(
     config: IndexConfig = DEFAULT_CONFIG,
     dictionary: DataFrame | None = None,
     broadcast_queries: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k fuzzy matches for a batch of queries.
 
@@ -73,9 +74,13 @@ def suggest_topk(
     queries : ``(query_id, query)``.
     dictionary : optional ``(doc_id, value)`` to attach matched values
         (the lookup join of pkg/suggest/service.go:126-138).
+    ordered : skip the final global sort when False — rank is already
+        per-query unique, so a caller that sorts the collected ≤ k·|queries|
+        rows itself (the serving path) saves the range-partitioner sampling
+        job + sort exchange every request pays otherwise.
 
     Returns ``(query_id, query, doc_id, score, rank[, value])`` ordered by
-    (query_id, rank).
+    (query_id, rank) when ``ordered``.
     """
     # the query STRING never enters the hot path: the join output and the
     # hash-agg key are all-int (query_id, size_a, doc_id, size) — at web
@@ -124,9 +129,10 @@ def suggest_topk(
     if dictionary is not None:
         topk = topk.join(F.broadcast(dictionary), "doc_id", "left")
 
-    return topk.select(
+    out = topk.select(
         "query_id", "query", *[c for c in topk.columns if c not in ("query_id", "query")]
-    ).orderBy("query_id", "rank")
+    )
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def select_suggest_plan(
@@ -191,6 +197,7 @@ def suggest_topk_auto(
     stats=None,
     min_postings: int = 100_000_000,
     skew_ratio: float = 0.6,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k suggest with automatic physical-plan selection.
 
@@ -205,7 +212,9 @@ def suggest_topk_auto(
     prefix path would have to derive its artifacts).
     """
     if stats is None:
-        return suggest_topk(index_df, queries, metric, alpha, k, config, dictionary)
+        return suggest_topk(
+            index_df, queries, metric, alpha, k, config, dictionary, ordered=ordered
+        )
     plan = select_suggest_plan(
         stats.num_docs, stats.num_postings, stats.max_df, min_postings, skew_ratio
     )
@@ -221,8 +230,11 @@ def suggest_topk_auto(
             term_df=stats.term_df,
             doc_terms=stats.doc_terms,
             delta_max=stats.delta_max,
+            ordered=ordered,
         )
-    return suggest_topk(index_df, queries, metric, alpha, k, config, dictionary)
+    return suggest_topk(
+        index_df, queries, metric, alpha, k, config, dictionary, ordered=ordered
+    )
 
 
 def suggest_topk_prefix(
@@ -236,6 +248,7 @@ def suggest_topk_prefix(
     term_df: DataFrame | None = None,
     doc_terms: DataFrame | None = None,
     delta_max: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact top-k suggest via the distributed CPMerge prefix filter.
 
@@ -377,9 +390,10 @@ def suggest_topk_prefix(
     )
     if dictionary is not None:
         topk = topk.join(F.broadcast(dictionary), "doc_id", "left")
-    return topk.select(
+    out = topk.select(
         "query_id", "query", *[c for c in topk.columns if c not in ("query_id", "query")]
-    ).orderBy("query_id", "rank")
+    )
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def autocomplete_firstk(
@@ -388,6 +402,7 @@ def autocomplete_firstk(
     k: int,
     config: IndexConfig = DEFAULT_CONFIG,
     dictionary: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """First-k autocomplete: documents containing EVERY query gram, the k
     smallest doc ids per query (reference: pkg/suggest/autocomplete.go:40-77 —
@@ -421,4 +436,4 @@ def autocomplete_firstk(
     if dictionary is not None:
         out = out.join(F.broadcast(dictionary), "doc_id", "left")
 
-    return out.orderBy("query_id", "rank")
+    return out.orderBy("query_id", "rank") if ordered else out

@@ -596,3 +596,173 @@ def test_crashed_migration_wedges_ingest_then_rerun_heals(spark, tmp_path):
     stream3 = spark.readStream.schema("doc_id long, text string").json(str(ddir2))
     near_dup_ingest(stream3, registry, sink).awaitTermination(180)
     assert results == {5: 1}
+
+
+def test_online_migration_zero_downtime_ingest(spark, tmp_path):
+    """Round-4 verdict next-round #2: re-layout a LIVE registry with zero
+    ingest downtime.  A batch arriving mid-migration is admitted against
+    the still-complete old layout (no wedge, correct decisions) and its
+    owner delta is DUAL-WRITTEN to the new layout, so the atomic meta swap
+    loses nothing: zero dropped and zero duplicate admissions across it."""
+    import glob
+
+    from suggest_spark.sources import fsutil
+    from suggest_spark.streaming.dedup import (
+        _read_registry,
+        migrate_registry_online,
+        near_dup_ingest,
+    )
+
+    registry = str(tmp_path / "registry")
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = r["dup_of"]
+
+    def ingest(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        _write_jsonl(d / "b.json", rows)
+        s = spark.readStream.schema("doc_id long, text string").json(str(d))
+        near_dup_ingest(s, registry, sink, n_prefixes=8).awaitTermination(180)
+
+    ingest("d1", [{"doc_id": 1, "text": DOC_A}, {"doc_id": 2, "text": DOC_B}])
+    assert results == {1: None, 2: None}
+    owners_before = {
+        (r["bucket"], r["doc_id"]) for r in spark.read.parquet(registry).collect()
+    }
+
+    # simulate step 1 of the migration having run (meta flagged, bulk copy
+    # not yet started) — the crash window where the OFFLINE form wedges
+    meta = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
+    new_dir = "_layout-00000032"
+    fsutil.publish_text_atomic(
+        spark,
+        f"{registry}/_meta.json",
+        json.dumps({**meta, "migration": {"to": 32, "dir": new_dir}}, sort_keys=True),
+        overwrite=True,
+    )
+
+    # ingest DURING the migration: no refusal, decisions unchanged
+    results.clear()
+    ingest("d2", [{"doc_id": 10, "text": DOC_A}, {"doc_id": 11, "text": DOC_C}])
+    assert results == {10: 1, 11: None}
+    # the novel doc's owner rows were dual-written to the new layout
+    dual = spark.read.parquet(f"{registry}/{new_dir}")
+    assert {r["doc_id"] for r in dual.select("doc_id").distinct().collect()} == {11}
+    # ...and to the old layout (still authoritative for admissions)
+    old_owners = {
+        (r["bucket"], r["doc_id"])
+        for r in _read_registry(spark, registry, "long").collect()
+    }
+    assert {d for _, d in old_owners} == {1, 2, 11}
+
+    # finish the migration (resume semantics: same target)
+    n = migrate_registry_online(spark, registry, 32)
+    final = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
+    assert final["n_prefixes"] == 32 and final["data_dir"] == new_dir
+    assert "migration" not in final
+    new_owners = {
+        (r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(f"{registry}/{new_dir}")
+        .select("bucket", "doc_id")
+        .distinct()
+        .collect()
+    }
+    assert new_owners == old_owners and n == len(new_owners)
+    assert not glob.glob(f"{registry}/pfx=*")  # old layout swept
+
+    # post-swap: cross-layout decisions and replay idempotency all hold
+    results.clear()
+    ingest("d3", [{"doc_id": 20, "text": DOC_C}, {"doc_id": 21, "text": DOC_B}])
+    assert results == {20: 11, 21: 2}
+    results.clear()
+    ingest("d4", [{"doc_id": 1, "text": DOC_A}, {"doc_id": 11, "text": DOC_C}])
+    assert results == {1: None, 11: None}  # replays stay admitted
+
+    # the per-batch prefix pruning still reaches the scan in the new layout
+    pfx_vals = sorted(
+        r["pfx"]
+        for r in spark.read.parquet(f"{registry}/{new_dir}")
+        .select("pfx")
+        .distinct()
+        .collect()
+    )
+    pruned = _read_registry(
+        spark, registry, "long", prefixes=pfx_vals[:1], data_root=f"{registry}/{new_dir}"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_online_migration_crash_rerun_and_maintenance_guards(spark, tmp_path):
+    """A crash anywhere in the online protocol leaves ingest RUNNING (the
+    whole point) and a same-target re-run completes losslessly; offline
+    maintenance (compaction, offline migrate) refuses the in-flight state
+    by name; a second re-run after completion is a cleanup no-op."""
+    import pytest
+
+    from suggest_spark.sources import fsutil
+    from suggest_spark.streaming.dedup import (
+        compact_registry,
+        migrate_registry,
+        migrate_registry_online,
+        near_dup_ingest,
+    )
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    _write_jsonl(
+        ddir / "b1.json", [{"doc_id": 1, "text": DOC_A}, {"doc_id": 2, "text": DOC_B}]
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(ddir))
+    near_dup_ingest(stream, registry, lambda df, bid: df.count(), n_prefixes=8)\
+        .awaitTermination(180)
+    before = {
+        (r["bucket"], r["doc_id"]) for r in spark.read.parquet(registry).collect()
+    }
+
+    # crash after step 1 + a PARTIAL bulk copy (half the rows made it)
+    meta = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
+    mig = {"to": 16, "dir": "_layout-00000016"}
+    fsutil.publish_text_atomic(
+        spark,
+        f"{registry}/_meta.json",
+        json.dumps({**meta, "migration": mig}, sort_keys=True),
+        overwrite=True,
+    )
+    partial = spark.read.parquet(registry).limit(3).drop("pfx")
+    from suggest_spark.streaming.dedup import _pfx as pfx_col
+
+    partial.withColumn("pfx", pfx_col(F.col("bucket"), 16)).write.mode(
+        "append"
+    ).partitionBy("pfx").parquet(f"{registry}/{mig['dir']}")
+
+    # maintenance refuses the in-flight migration BY NAME
+    with pytest.raises(ValueError, match="migrate_registry_online"):
+        compact_registry(spark, registry)
+    with pytest.raises(ValueError, match="migrate_registry_online"):
+        migrate_registry(spark, registry, 64)
+    with pytest.raises(ValueError, match="finish that migration"):
+        migrate_registry_online(spark, registry, 64)
+
+    # same-target re-run completes; duplicates from the partial copy are
+    # tolerated on disk and absent from the distinct owners set
+    n = migrate_registry_online(spark, registry, 16)
+    assert n == len(before)
+    got = {
+        (r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(f"{registry}/{mig['dir']}")
+        .select("bucket", "doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == before
+    # re-running AFTER completion is a cleanup no-op with the same count
+    assert migrate_registry_online(spark, registry, 16) == n
+    # compaction now works against the new layout and keeps the owners set
+    assert compact_registry(spark, registry, n_files=2) == len(before)
+    final = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
+    assert final["n_prefixes"] == 16 and final["data_dir"] == mig["dir"]
