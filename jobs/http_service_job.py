@@ -137,6 +137,22 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
     return {"thread": t, "wait_idle": wait_idle, "stop": stop}
 
 
+def warm_service(service) -> None:
+    """Serving-latency boot step, re-run after every reindex (mutators drop
+    the hot state on purpose — it must never describe a pre-mutation
+    snapshot): warm() compiles the per-metric codegen, pins the entry's
+    index/dictionary and collects the value map; enable_hot_replica then
+    installs the in-driver snapshot for millisecond lone requests, falling
+    back to the (always-correct, coalesced) Spark path for entries above
+    the driver-memory postings bound."""
+    for name in service.dictionaries():
+        service.warm(name)
+        try:
+            service.enable_hot_replica(name)
+        except ValueError:
+            pass  # corpus-scale entry: stays on the coalesced Spark path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -149,9 +165,16 @@ def main() -> None:
     write_pid_file(args.pid_path)
     spark = get_spark(app_name="suggest_http_service", master=args.master)
     service, reindex_job = service_from_config(spark, args.config, args.base_dir)
-    install_sighup_reindex(reindex_job)
+    warm_service(service)
+
+    def reindex_and_rewarm() -> None:
+        reindex_job()
+        warm_service(service)
+
+    install_sighup_reindex(reindex_and_rewarm)
     # coalesce: N concurrent requests -> one Spark job per parameter group
-    app = create_app(service, reindex_job, coalesce=True)
+    # (replica-backed entries answer each group in-driver in milliseconds)
+    app = create_app(service, reindex_and_rewarm, coalesce=True)
     app.run(host="0.0.0.0", port=args.port, threaded=True)
 
 

@@ -257,17 +257,121 @@ def train_ivf_centroids(
     return cs
 
 
+def tune_n_probe(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    target_recall: float = 0.9,
+    n_queries: int = 64,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> dict:
+    """Pick the smallest ``n_probe`` whose recall@k meets ``target_recall``
+    on a held-out sample — ONE exact-top-k job measures EVERY candidate
+    probe depth at once (round-4 verdict #6: the right probe fraction is a
+    property of the corpus's cluster structure, not a constant; 0.125 gave
+    recall 0.43 on a structure-free fixture vs 1.0 at 0.25 on a clustered
+    one).
+
+    Method: for each sampled query, compute the exact top-k (brute force)
+    and, for every true neighbor, the RANK of its Voronoi cell in the
+    query's centroid-probe order.  IVF-flat with exact rerank returns a
+    true neighbor iff its cell is probed, so
+    ``recall@p = P(cell_rank <= p)`` — the whole recall curve from one job,
+    no per-``p`` reruns.  Deterministic: the sample is the ``n_queries``
+    lowest-id corpus vectors.
+
+    Returns ``{"n_probe", "achieved_recall", "target_recall",
+    "recall_by_n_probe", "n_sampled_pairs", "k", "n_centroids"}``.
+    ``recall_by_n_probe`` is the full measured curve (monotone; reaches
+    1.0 at ``n_centroids``), so operators can trade recall for scan cost
+    with data instead of guesses."""
+    from bisect import bisect_right
+
+    n_c = len(centroids)
+    sample = corpus.orderBy(corpus_id).limit(n_queries).select(
+        F.col(corpus_id).alias("sq_id"), F.col(vec)
+    )
+    exact = cosine_topk(
+        sample, corpus, k, query_id="sq_id", corpus_id=corpus_id, vec=vec
+    )
+    dots = _centroid_dots(F.col(vec), centroids)
+    ncell = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
+    )
+    q_dots = _centroid_dots(F.col(vec), centroids)
+    ranked = F.array_sort(
+        F.transform(
+            q_dots,
+            lambda d, i: F.struct((-d).alias("nd"), (i + 1).cast("int").alias("i")),
+        )
+    )
+    qorder = sample.select(
+        "sq_id", F.transform(ranked, lambda s: s["i"]).alias("probe_order")
+    )
+    rows = (
+        exact.join(F.broadcast(ncell), "neighbor_id")
+        .join(F.broadcast(qorder), "sq_id")
+        .select(F.array_position(F.col("probe_order"), F.col("cell")).alias("pr"))
+        .collect()
+    )
+    ranks = sorted(int(r["pr"]) for r in rows)
+    total = len(ranks)
+    if total == 0:
+        raise ValueError("tune_n_probe: no exact neighbors in the sample")
+    curve = {p: bisect_right(ranks, p) / total for p in range(1, n_c + 1)}
+    best = next((p for p in range(1, n_c + 1) if curve[p] >= target_recall), n_c)
+    return {
+        "n_probe": best,
+        "achieved_recall": round(curve[best], 4),
+        "target_recall": target_recall,
+        "recall_by_n_probe": {str(p): round(r, 4) for p, r in curve.items()},
+        "n_sampled_pairs": total,
+        "k": k,
+        "n_centroids": n_c,
+    }
+
+
+IVF_STATS = "_ivf_stats.json"
+
+
+def read_ivf_stats(spark, path: str) -> dict | None:
+    """The tuner stats recorded by :func:`write_ivf` (None if absent)."""
+    import json
+
+    from ..sources import fsutil
+
+    stats_path = f"{path}/{IVF_STATS}"
+    if not fsutil.exists(spark, stats_path):
+        return None
+    return json.loads(fsutil.read_text(spark, stats_path))
+
+
 def write_ivf(
     corpus: DataFrame,
     path: str,
     centroids: list[list[float]],
     corpus_id: str = "vec_id",
     vec: str = "embedding",
-) -> None:
+    target_recall: float | None = None,
+    k: int = 5,
+    n_queries: int = 64,
+) -> dict | None:
     """At-rest IVF layout: the corpus written ``partitionBy("cell")`` so
     probe queries PRUNE partitions (the same physical mechanism as the
     suggest index's size segments, reference pkg/index/indices.go:3-14 —
-    a Voronoi cell is to ANN what a cardinality segment is to suggest)."""
+    a Voronoi cell is to ANN what a cardinality segment is to suggest).
+
+    With ``target_recall`` set, :func:`tune_n_probe` runs at build time and
+    its result (chosen ``n_probe``, achieved recall, the full measured
+    curve) is recorded at ``<path>/_ivf_stats.json``;
+    :func:`ivf_probe_topk` with ``n_probe=None`` then serves at the tuned
+    depth.  Returns the stats (None when not tuning)."""
+    import json
+
+    from ..sources import fsutil
+
     dots = _centroid_dots(F.col(vec), centroids)
     with_cell = corpus.select(
         F.col(corpus_id).alias("nid"),
@@ -276,6 +380,18 @@ def write_ivf(
         F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
     )
     with_cell.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if target_recall is None:
+        return None
+    stats = tune_n_probe(
+        corpus, centroids, k, target_recall, n_queries, corpus_id, vec
+    )
+    fsutil.publish_text_atomic(
+        corpus.sparkSession,
+        f"{path}/{IVF_STATS}",
+        json.dumps(stats, sort_keys=True),
+        overwrite=True,
+    )
+    return stats
 
 
 def ivf_probe_topk(
@@ -284,7 +400,7 @@ def ivf_probe_topk(
     queries: DataFrame,
     k: int,
     centroids: list[list[float]],
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     query_id: str = "query_id",
     vec: str = "embedding",
 ) -> DataFrame:
@@ -292,10 +408,16 @@ def ivf_probe_topk(
     query batch's probe cells is SCANNED (static partition pruning via the
     ``cell IN (...)`` predicate — check ``PartitionFilters`` in the plan).
 
+    ``n_probe=None`` serves at the depth the build-time tuner recorded in
+    ``_ivf_stats.json`` (falling back to 4 for untuned tables).
+
     The probe-cell union is collected driver-side — bounded by
     Q·n_probe ≤ n_centroids, the serving-shaped analogue of the suggest
     path's bounded query batch.
     """
+    if n_probe is None:
+        stats = read_ivf_stats(spark, path)
+        n_probe = stats["n_probe"] if stats else 4
     q_dots = _centroid_dots(F.col("qv"), centroids)
     ranked = F.array_sort(
         F.transform(
