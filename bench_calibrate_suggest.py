@@ -52,9 +52,18 @@ from suggest_spark.plans.session import get_spark
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 DOC_SCALES = [
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_CAL_DOCS", "25000,100000,400000").split(",")
+    for x in os.environ.get(
+        "SPARK_GRAFT_CAL_DOCS", "25000,100000,400000,1600000"
+    ).split(",")
 ]
 HOT_FRACS = [0.0, 0.25, 0.6]
+#: above this scale only the crossover BRACKET is timed (the 0.25 midpoint
+#: adds ~4 minutes per scale and rounds 3-4 showed it always loses to plain
+#: below the 0.6 crossover) — the round-5 XL step exists to measure whether
+#: the no-skew per-posting trend lines converge toward the min_postings
+#: extrapolation, not to re-litigate the mid-skew cell
+XL_DOCS = 400_000
+XL_HOT_FRACS = [0.0, 0.6]
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_CAL_QUERIES", "200"))
 REPS = int(os.environ.get("SPARK_GRAFT_CAL_REPS", "2"))
 ALPHA, TOPK = 0.5, 5
@@ -104,7 +113,7 @@ def main() -> None:
     cells = []
     try:
         for n_docs in DOC_SCALES:
-            for hot in HOT_FRACS:
+            for hot in HOT_FRACS if n_docs <= XL_DOCS else XL_HOT_FRACS:
                 d = make_cal_dictionary(spark, n_docs, hot).persist()
                 index = build_ngram_index(d, config=DEFAULT_CONFIG)
                 path = f"{tmp}/idx_{n_docs}_{int(hot * 100)}"

@@ -48,6 +48,52 @@ import uuid
 from . import fsutil
 
 
+def make_s3_conditional_put_committer(client=None):
+    """Manifest committer for ``s3://``/``s3a://`` paths using S3's
+    conditional write — ``PutObject`` with ``IfNoneMatch: '*'`` (public S3
+    API; generally available since 2024).  A PUT is atomic for readers
+    (objects are never visible partially) and the precondition makes it
+    EXCLUSIVE: two committers of one version race on the same key, S3
+    admits exactly one and fails the other with HTTP 412, which surfaces
+    here as the contract's ``FileExistsError``.
+
+    ``client`` is an injected boto3 S3 client (tests use a stub; production
+    passes ``boto3.client('s3')`` configured for the deployment's region /
+    endpoint).  Install with ``versioned.set_manifest_committer(...)``;
+    fsutil refuses object-store schemes precisely so that deployments reach
+    for this instead of a torn-prone rename."""
+    import boto3  # optional extra: only imported when this committer is built
+
+    s3 = client if client is not None else boto3.client("s3")
+
+    def commit(spark, path: str, text: str) -> None:
+        from botocore.exceptions import ClientError
+
+        if "://" not in path:
+            raise ValueError(f"s3 committer needs an s3://bucket/key path, got {path}")
+        bucket_key = path.split("://", 1)[1]
+        bucket, _, key = bucket_key.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"cannot parse bucket/key from {path}")
+        try:
+            s3.put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=text.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+        except ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            status = (
+                e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            )
+            if code == "PreconditionFailed" or status == 412:
+                raise FileExistsError(f"{path} already exists") from e
+            raise
+
+    return commit
+
+
 def _read_lock(spark, lock_path: str) -> dict | None:
     """The lock file's payload, or None when absent/torn/vanishing (all of
     which mean: re-attempt the exclusive create)."""

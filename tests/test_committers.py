@@ -154,3 +154,40 @@ def test_publish_refuses_non_atomic_schemes(spark, monkeypatch):
     monkeypatch.setattr(fsutil, "_fs", fake_fs)
     with pytest.raises(NotImplementedError, match="set_manifest_committer"):
         fsutil.publish_text_atomic(spark, "s3a://bucket/m/v1.json", "{}")
+
+
+def test_s3_conditional_put_committer_contract(spark):
+    """The boto3-backed S3 committer (optional extra): IfNoneMatch='*' on
+    every put; a 412 PreconditionFailed surfaces as the contract's
+    FileExistsError; other S3 errors pass through.  Exercised against a
+    stub client — the real-backend requirement is carried by the lock-file
+    committer above; this pins the request shape and the error mapping."""
+    from botocore.exceptions import ClientError
+
+    from suggest_spark.sources.committers import make_s3_conditional_put_committer
+
+    store, puts = {}, []
+
+    class _StubS3:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            puts.append((Bucket, Key, IfNoneMatch))
+            assert IfNoneMatch == "*"  # conditional on every put, no bypass
+            if (Bucket, Key) in store:
+                raise ClientError(
+                    {
+                        "Error": {"Code": "PreconditionFailed"},
+                        "ResponseMetadata": {"HTTPStatusCode": 412},
+                    },
+                    "PutObject",
+                )
+            store[(Bucket, Key)] = Body
+
+    commit = make_s3_conditional_put_committer(client=_StubS3())
+    commit(spark, "s3a://bkt/idx/_manifests/v00000001.json", '{"version": 1}')
+    assert store[("bkt", "idx/_manifests/v00000001.json")] == b'{"version": 1}'
+    with pytest.raises(FileExistsError):
+        commit(spark, "s3a://bkt/idx/_manifests/v00000001.json", '{"version": 9}')
+    assert store[("bkt", "idx/_manifests/v00000001.json")] == b'{"version": 1}'
+    with pytest.raises(ValueError, match="bucket/key"):
+        commit(spark, "s3a://bkt-only-no-key", "{}")
+    assert [p[:2] for p in puts] == [("bkt", "idx/_manifests/v00000001.json")] * 2
