@@ -310,8 +310,11 @@ def tune_n_probe(
     qorder = sample.select(
         "sq_id", F.transform(ranked, lambda s: s["i"]).alias("probe_order")
     )
+    # broadcast the SMALL sides (≤ n_queries·k pairs and ≤ n_queries probe
+    # orders); ncell is one row per CORPUS vector — broadcasting it would
+    # scale with the corpus and break the 8 GB broadcast bound at real size
     rows = (
-        exact.join(F.broadcast(ncell), "neighbor_id")
+        ncell.join(F.broadcast(exact), "neighbor_id")
         .join(F.broadcast(qorder), "sq_id")
         .select(F.array_position(F.col("probe_order"), F.col("cell")).alias("pr"))
         .collect()

@@ -542,7 +542,9 @@ class SuggestService:
                 e.index,
                 e.dictionary,
                 e.config,
-                max_postings=max_postings or DEFAULT_MAX_POSTINGS,
+                # explicit None-check: a caller's max_postings=0 must mean
+                # "refuse any replica", not silently become the default
+                max_postings=DEFAULT_MAX_POSTINGS if max_postings is None else max_postings,
             )
             self._swap(name, dataclasses.replace(e, replica=replica))
             return {

@@ -165,19 +165,24 @@ def select_suggest_plan(
       linkage/blocking.py).
 
     The ``skew_ratio=0.6`` default is MEASURED, not argued
-    (bench_calibrate_suggest.py grid, bench_out/CALIBRATION_suggest.json,
-    2026-08-18 local[32]): at max_df/num_docs ≈ 0.25 the plain plan still
-    wins ~2× at both 2M and 8M postings, while at ≈ 0.6 the prefix plan
-    crosses over (1.01× at 2M postings, 1.36× at 8M — the prefix advantage
-    GROWS with posting count at fixed skew, so 0.6 is conservative for
-    larger indexes).  ``min_postings=10^8`` stays the cluster-scale
-    threshold: local hosts can't reach that regime, and the measured
-    no-skew trend (plain 0.25 µs/posting vs prefix ~1 µs/posting at 8M)
-    shows plain's lead persisting through every locally measurable size —
-    recalibrate on the target cluster before lowering it.  The skew rule
-    only fires above 10^6 postings (below that even a fully-skewed stream
-    is trivially small; measured: at 0.5M postings and 0.6 skew, prefix
-    still loses 2×).
+    (bench_calibrate_suggest.py grid, bench_out/CALIBRATION_suggest.json;
+    round-5 run 2026-08-18 local[32] extends the grid to 32M postings): at
+    max_df/num_docs ≈ 0.25 the plain plan still wins ~2× at every measured
+    scale, while at ≈ 0.6 the prefix plan wins 2.42× at 8M postings and
+    2.28× at 32M.  The 2M/0.6 cell is BORDERLINE (prefix 1.01× in the
+    round-4 run, 0.79× in round 5 — host jitter straddles the line), so
+    firing the skew rule from 10^6 postings costs at most ~20% in that one
+    borderline decade and pays 2×+ everywhere above it.
+    ``min_postings=10^8`` stays the cluster-scale threshold, and the
+    round-5 XL row turns its extrapolation into a measured TREND: at zero
+    skew the prefix plan's per-posting cost falls 1.55 → 0.32 µs from 8M →
+    32M postings (its verify shuffle amortizes) while plain holds at
+    0.18-0.29 µs, shrinking plain's lead from 5.4× to 1.8× per 4× scale
+    step — the curves CONVERGE, with the implied no-skew crossover in the
+    10^8-10^9 range.  Recalibrate on the target cluster before lowering it.
+    The skew rule only fires above 10^6 postings (below that even a
+    fully-skewed stream is trivially small; measured: at 0.5M postings and
+    0.6 skew, prefix still loses 2×).
     """
     if num_postings >= min_postings:
         return "prefix"

@@ -60,9 +60,9 @@ from .indexing import build_ngram_index
 try:  # py4j wraps JVM-side FS read failures in its own exception type
     from py4j.protocol import Py4JError
 
-    _MANIFEST_READ_ERRORS = (ValueError, OSError, Py4JError)
+    _TRANSIENT_READ_ERRORS = (Py4JError,)
 except ImportError:  # pragma: no cover — py4j ships with pyspark
-    _MANIFEST_READ_ERRORS = (ValueError, OSError)
+    _TRANSIENT_READ_ERRORS = ()
 
 INDEX_SCHEMA = "doc_id long, size int, term string"
 _MANIFEST_DIR = "_manifests"
@@ -95,23 +95,36 @@ def read_manifest(spark: SparkSession, base: str, version: int | None = None) ->
     consistent read whose data files the grace-period GC still guarantees.
     Deeper fallbacks (several consecutive torn commits) are best-effort —
     data older than the GC keep-window may be gone; with the default atomic
-    committer this path never executes.  An EXPLICITLY requested version
+    committer this path never executes.  During a fallback, an OLDER
+    manifest that VANISHES (IO error — a concurrent gc_versions deleted it
+    between the listing and the read) steps down too; the same error on the
+    NEWEST manifest raises instead — GC never deletes the newest, so that
+    is a transient FS failure, and falling back would serve (or let an
+    upsert republish) a stale snapshot.  An EXPLICITLY requested version
     still raises on corruption."""
     if version is not None:
         return json.loads(fsutil.read_text(spark, _manifest_path(base, version)))
     versions = list_manifest_versions(spark, base)
     if not versions:
         raise FileNotFoundError(f"no manifests under {base}/{_MANIFEST_DIR}")
+    newest = versions[-1]
     for v in reversed(versions):
         try:
             return json.loads(fsutil.read_text(spark, _manifest_path(base, v)))
-        except _MANIFEST_READ_ERRORS:
-            # ValueError ⊃ JSONDecodeError (torn file); OSError/Py4JError ⊂
-            # a manifest deleted by a concurrent gc_versions between the
-            # listing and this read — the fallback exists precisely to
-            # survive that window, so step down a version instead of failing
-            # a read the grace GC still guarantees
+        except ValueError:  # json.JSONDecodeError ⊂ ValueError: a TORN file
+            # (non-atomic injected committer / pre-round-4 log) — never
+            # readable by anyone, so stepping down is always correct
             if v == versions[0]:
+                raise
+        except (OSError,) + _TRANSIENT_READ_ERRORS:
+            # a VANISHED file (deleted by a concurrent gc_versions between
+            # the listing and this read) — but GC never deletes the newest
+            # manifest, so on the NEWEST a read failure is a transient FS
+            # error and falling back would silently serve (or worse, let an
+            # upsert MERGE AGAINST AND REPUBLISH) a stale snapshot: raise.
+            # Older versions are only reached because newer ones were torn;
+            # there the GC race is real and stepping down stays consistent.
+            if v == newest or v == versions[0]:
                 raise
     raise FileNotFoundError(f"no readable manifest under {base}/{_MANIFEST_DIR}")
 

@@ -23,16 +23,20 @@ serves reads from its own immutable snapshot and POST /internal/reindex is
 the same build-then-swap on every replica (the reference runs the same
 single-process model behind SIGHUP, app.go:47-68).
 
-Latency model (``coalesce=True``, the service job's default): a lone request
-pays one Spark job (~0.5-3 s on a cold driver — honest: not the reference's
-mmap microseconds); N CONCURRENT requests pay ~one job TOTAL per distinct
-search-parameter group (serving/coalesce.py batches them through
-``suggest_batch``), so throughput under load tracks the measured batch rate
-(300-400 q/s at sf0.1) instead of degrading linearly with user count.
+Latency model (``coalesce=True``, the service job's default): a dictionary
+with a HOT REPLICA enabled (serving/replica.py — the service job enables it
+at boot for every entry under the postings bound) answers each request
+in-driver in milliseconds (p50 2.5 ms measured on words.dict,
+BASELINE.md round-5 table); an entry on the Spark path pays one job per
+request (~1.9 s warm after ``service.warm()``), and N CONCURRENT requests
+pay ~one job TOTAL per distinct search-parameter group
+(serving/coalesce.py batches them through ``suggest_batch``), so throughput
+under load tracks the measured batch rate (300-400 q/s at sf0.1) instead of
+degrading linearly with user count.
 
-Flask is used when importable (present in this container); the module
-degrades to an ImportError at ``create_app`` call time, not import time, so
-the rest of the package works without it.
+Flask is imported inside ``create_app`` — environments without it get an
+ImportError at call time, not import time, so the rest of the package
+works regardless.
 """
 
 from __future__ import annotations

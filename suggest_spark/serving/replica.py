@@ -89,16 +89,19 @@ class HotReplica:
         """One Arrow transfer of the postings + dictionary.  Raises
         ``ValueError`` above ``max_postings`` — the caller keeps the Spark
         path instead of OOM-ing the driver."""
-        agg = index_df.groupBy("term", "size", "doc_id").agg(
-            F.count(F.lit(1)).cast("int").alias("mult")
-        )
-        pdf = agg.toPandas()  # Arrow batch transfer, not row-at-a-time collect
-        n = int(pdf["mult"].sum())
+        # bound-check BEFORE any driver transfer: the count is one metadata/
+        # cache-cheap job, while toPandas() on an over-bound index is
+        # exactly the driver OOM the bound exists to prevent
+        n = index_df.count()  # index rows == postings (duplicates included)
         if n > max_postings:
             raise ValueError(
                 f"index has {n} postings > max_postings={max_postings}; "
                 "serve it on the Spark path (coalesced) instead of a replica"
             )
+        agg = index_df.groupBy("term", "size", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("mult")
+        )
+        pdf = agg.toPandas()  # Arrow batch transfer, not row-at-a-time collect
         pdf = pdf.sort_values("term", kind="mergesort", ignore_index=True)
         terms = pdf["term"].to_numpy()
         sizes = pdf["size"].to_numpy(np.int32)

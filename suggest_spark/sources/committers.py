@@ -66,7 +66,7 @@ def make_s3_conditional_put_committer(client=None):
 
     s3 = client if client is not None else boto3.client("s3")
 
-    def commit(spark, path: str, text: str) -> None:
+    def commit(spark, path: str, text: str, _retries: int = 5) -> None:
         from botocore.exceptions import ClientError
 
         if "://" not in path:
@@ -75,23 +75,60 @@ def make_s3_conditional_put_committer(client=None):
         bucket, _, key = bucket_key.partition("/")
         if not bucket or not key:
             raise ValueError(f"cannot parse bucket/key from {path}")
-        try:
-            s3.put_object(
-                Bucket=bucket,
-                Key=key,
-                Body=text.encode("utf-8"),
-                IfNoneMatch="*",
-            )
-        except ClientError as e:
-            code = e.response.get("Error", {}).get("Code", "")
-            status = (
-                e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
-            )
-            if code == "PreconditionFailed" or status == 412:
-                raise FileExistsError(f"{path} already exists") from e
-            raise
+        for attempt in range(_retries):
+            try:
+                s3.put_object(
+                    Bucket=bucket,
+                    Key=key,
+                    Body=text.encode("utf-8"),
+                    IfNoneMatch="*",
+                )
+                return
+            except ClientError as e:
+                code = e.response.get("Error", {}).get("Code", "")
+                status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+                if code == "PreconditionFailed" or status == 412:
+                    raise FileExistsError(f"{path} already exists") from e
+                if code == "ConditionalRequestConflict" or status == 409:
+                    # another conditional PUT on this key is IN FLIGHT (S3
+                    # returns 409, not 412, while the winner is still
+                    # uploading).  Its outcome is unknown yet: back off and
+                    # retry — the retry sees 412/FileExistsError if it won,
+                    # or succeeds if it failed.
+                    time.sleep(0.1 * (attempt + 1))
+                    continue
+                raise
+        raise IOError(
+            f"{path}: conditional PUT conflicted {_retries} times; "
+            "another committer is looping on this key"
+        )
 
     return commit
+
+
+def make_s3_atomic_publisher(client=None):
+    """The ``fsutil.set_object_store_publisher`` implementation for S3:
+    a single ``PutObject`` is atomic for readers (objects are never visible
+    partially), and ``overwrite=False`` uses the conditional-put committer
+    above for exclusivity.  Installing this makes EVERY
+    ``publish_text_atomic`` call site (registry meta, IVF stats, planner
+    stats) work on ``s3://``/``s3a://`` paths with the same contract they
+    have on HDFS/local."""
+    import boto3
+
+    s3 = client if client is not None else boto3.client("s3")
+    exclusive = make_s3_conditional_put_committer(client=s3)
+
+    def publish(spark, path: str, text: str, overwrite: bool = False) -> None:
+        if not overwrite:
+            return exclusive(spark, path, text)
+        bucket_key = path.split("://", 1)[1] if "://" in path else ""
+        bucket, _, key = bucket_key.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"cannot parse bucket/key from {path}")
+        s3.put_object(Bucket=bucket, Key=key, Body=text.encode("utf-8"))
+
+    return publish
 
 
 def _read_lock(spark, lock_path: str) -> dict | None:
@@ -181,11 +218,14 @@ def make_lockfile_committer(
                     current = _read_lock(spark, lock_path)
                     if current == held and clock() >= held.get("expires_at", 0):
                         fsutil.delete(spark, lock_path, recursive=False)
-                # torn/vanished/stolen: retry the exclusive create
+                # torn/vanished/stolen: retry the exclusive create, with the
+                # same backoff as the live branch (a persistently unreadable
+                # lock must not busy-spin FS calls until the deadline)
                 if clock() >= deadline:
                     raise IOError(
                         f"could not acquire {lock_path} within {acquire_timeout_sec}s"
                     )
+                time.sleep(poll_sec)
         try:
             check_fencing(spark, lock_path, token, clock)
             if fsutil.exists(spark, path):

@@ -39,6 +39,28 @@ from pyspark.sql import SparkSession
 #: sources/committers.py) or consciously extend this set.
 ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs"}
 
+#: Escape hatch for object stores: an injected callable
+#: ``(spark, path, text, overwrite) -> None`` that publish_text_atomic
+#: delegates to for schemes outside the allowlist.  It must provide the
+#: same contract (all-or-nothing visibility; ``overwrite=False`` raises
+#: FileExistsError when the path exists — exactly one concurrent publisher
+#: wins).  ``committers.make_s3_atomic_publisher`` is the shipped S3
+#: implementation (single PUT = atomic for readers; IfNoneMatch = the
+#: exclusive form).  This governs EVERY publish_text_atomic call site
+#: (registry meta, IVF stats, planner stats, funnels); the narrower
+#: versioned.set_manifest_committer hook remains for deployments that only
+#: need transactional manifests.
+_OBJECT_STORE_PUBLISHER = None
+
+
+def set_object_store_publisher(publisher) -> object:
+    """Install (or clear, with None) the object-store publish callable used
+    for non-atomic-rename schemes; returns the previous one."""
+    global _OBJECT_STORE_PUBLISHER
+    previous = _OBJECT_STORE_PUBLISHER
+    _OBJECT_STORE_PUBLISHER = publisher
+    return previous
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -130,13 +152,16 @@ def publish_text_atomic(
     fs, hpath, _ = _fs(spark, path)
     scheme = fs.getScheme()
     if scheme not in ATOMIC_RENAME_SCHEMES:
+        if _OBJECT_STORE_PUBLISHER is not None:
+            return _OBJECT_STORE_PUBLISHER(spark, path, text, overwrite)
         # loud, not a silent TOCTOU downgrade: object-store "rename" is
         # copy+delete — neither torn-read-safe nor exclusive
         raise NotImplementedError(
             f"publish_text_atomic: scheme {scheme!r} has no atomic rename "
-            f"({path}); inject a conditional-put committer "
-            "(versioned.set_manifest_committer / sources/committers.py) or "
-            "extend fsutil.ATOMIC_RENAME_SCHEMES if your store guarantees it"
+            f"({path}); install fsutil.set_object_store_publisher (e.g. "
+            "committers.make_s3_atomic_publisher) — or, for manifests only, "
+            "versioned.set_manifest_committer — or extend "
+            "fsutil.ATOMIC_RENAME_SCHEMES if your store guarantees rename"
         )
     if scheme == "file":
         import os

@@ -281,7 +281,7 @@ def compact_registry(
                     f"{registry_path} has an ONLINE prefix migration in "
                     f"flight to n_prefixes={meta['migration']['to']}; finish "
                     "it first: migrate_registry_online(spark, path, "
-                    f"{meta['migration']['to']})"
+                    f"{meta['migration']['to']}, settle_sec=...)"
                 )
         elif has_pfx:
             if n_prefixes is None:
@@ -376,7 +376,7 @@ def migrate_registry(
         raise ValueError(
             f"{registry_path} has an ONLINE migration in flight to "
             f"n_prefixes={meta['migration']['to']}; finish it first: "
-            f"migrate_registry_online(spark, path, {meta['migration']['to']})"
+            f"migrate_registry_online(spark, path, {meta['migration']['to']}, settle_sec=...)"
         )
     id_type = meta.get("id_type", "long")
     data_root = _data_root(registry_path, meta)
@@ -420,7 +420,8 @@ def migrate_registry_online(
     registry_path: str,
     new_n_prefixes: int,
     n_files: int = 8,
-    settle_sec: float = 0.0,
+    *,
+    settle_sec: float,
 ) -> int:
     """Re-layout a registry to a new prefix count WITHOUT stopping ingest —
     the online form of :func:`migrate_registry` (which wedges ingest for its
@@ -437,10 +438,13 @@ def migrate_registry_online(
        (full correctness — the old layout stays complete) and DUAL-WRITE
        their novel-owner deltas to both layouts.  No wedge: a crash here
        leaves ingest running, not refusing.
-    2. wait ``settle_sec`` — must exceed the longest in-flight micro-batch
-       that began BEFORE step 1 (such a batch read pre-migration meta and
-       appends only to the old layout; the bulk copy must start after its
-       append lands).  Tests drive batches deterministically and pass 0.
+    2. wait ``settle_sec`` — REQUIRED (keyword-only, no default: this wait
+       is correctness-critical, so the caller must state it).  It must
+       exceed the longest in-flight micro-batch that began BEFORE step 1
+       (such a batch read pre-migration meta and appends only to the old
+       layout; the bulk copy must start after its append lands).  Tests
+       drive batches deterministically between the steps and pass 0.0;
+       production passes its trigger interval + worst batch duration.
     3. bulk-copy the old layout (``bucket``/``doc_id``, deduplicated,
        re-prefixed under the new count) into ``_layout-<n>`` with APPEND —
        concurrent dual-written delta files are never clobbered.  Rows a

@@ -191,3 +191,68 @@ def test_s3_conditional_put_committer_contract(spark):
     with pytest.raises(ValueError, match="bucket/key"):
         commit(spark, "s3a://bkt-only-no-key", "{}")
     assert [p[:2] for p in puts] == [("bkt", "idx/_manifests/v00000001.json")] * 2
+
+
+def test_object_store_publisher_routes_all_publish_sites(spark, monkeypatch):
+    """Round-5 review: the allowlist's remedy must govern EVERY
+    publish_text_atomic call site (registry meta, IVF stats, ...), not just
+    manifests — fsutil.set_object_store_publisher is that hook."""
+
+    class _FakeFs:
+        def getScheme(self):
+            return "s3a"
+
+    real = fsutil._fs
+
+    def fake_fs(s, path):
+        if path.startswith("s3a://"):
+            fs, hpath, jvm = real(s, path.replace("s3a://bucket", "/tmp"))
+            return _FakeFs(), hpath, jvm
+        return real(s, path)
+
+    monkeypatch.setattr(fsutil, "_fs", fake_fs)
+    published = []
+    previous = fsutil.set_object_store_publisher(
+        lambda s, path, text, overwrite: published.append((path, text, overwrite))
+    )
+    try:
+        fsutil.publish_text_atomic(spark, "s3a://bucket/reg/_meta.json", '{"n": 1}')
+        fsutil.publish_text_atomic(
+            spark, "s3a://bucket/ivf/_ivf_stats.json", "{}", overwrite=True
+        )
+    finally:
+        fsutil.set_object_store_publisher(previous)
+    assert published == [
+        ("s3a://bucket/reg/_meta.json", '{"n": 1}', False),
+        ("s3a://bucket/ivf/_ivf_stats.json", "{}", True),
+    ]
+    # without a publisher the scheme still refuses loudly
+    with pytest.raises(NotImplementedError, match="set_object_store_publisher"):
+        fsutil.publish_text_atomic(spark, "s3a://bucket/reg/_meta.json", "{}")
+
+
+def test_s3_atomic_publisher_forms(spark):
+    """make_s3_atomic_publisher: exclusive = conditional put (one winner);
+    overwrite = plain PUT (atomic replace)."""
+    from botocore.exceptions import ClientError
+
+    from suggest_spark.sources.committers import make_s3_atomic_publisher
+
+    store = {}
+
+    class _StubS3:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch == "*" and (Bucket, Key) in store:
+                raise ClientError(
+                    {"Error": {"Code": "PreconditionFailed"},
+                     "ResponseMetadata": {"HTTPStatusCode": 412}},
+                    "PutObject",
+                )
+            store[(Bucket, Key)] = Body
+
+    pub = make_s3_atomic_publisher(client=_StubS3())
+    pub(spark, "s3a://b/x/_meta.json", "v1")
+    with pytest.raises(FileExistsError):
+        pub(spark, "s3a://b/x/_meta.json", "v2")
+    pub(spark, "s3a://b/x/_meta.json", "v3", overwrite=True)
+    assert store[("b", "x/_meta.json")] == b"v3"

@@ -174,17 +174,23 @@ def test_injected_conditional_put_committer_lost_race(spark, tmp_path):
     assert read_manifest(spark, base)["version"] == 2
 
 
-def test_read_manifest_falls_back_on_vanished_current(spark, tmp_path, monkeypatch):
-    """ADVICE r4: a manifest file deleted by a concurrent gc_versions between
-    list_manifest_versions and the read raises an IO/FS error, not
-    ValueError — the current-version fallback must survive it too."""
+def test_read_manifest_vanished_file_semantics(spark, tmp_path, monkeypatch):
+    """ADVICE r4 + round-5 review: a manifest deleted by a concurrent
+    gc_versions between listing and read raises an IO/FS error, not
+    ValueError — the fallback must survive it for OLDER versions (the only
+    ones GC can delete).  On the NEWEST manifest the same error is a
+    TRANSIENT failure: falling back there would let an upsert silently
+    merge against — and republish — a stale snapshot, so it must raise."""
     import suggest_spark.operators.versioned as versioned
 
     base = str(tmp_path / "idx")
     m1 = _write_v1(spark, base)
     d = spark.createDataFrame(DICT + [(2, "Honda Fit")], "doc_id long, value string")
     m2 = write_versioned_index(build_ngram_index(d), base)
-    assert m2["version"] == m1["version"] + 1
+    # v3: a TORN manifest left by a non-atomic external writer
+    fsutil.publish_text_atomic(
+        spark, versioned._manifest_path(base, m2["version"] + 1), '{"version": '
+    )
 
     real_read = fsutil.read_text
     gone = versioned._manifest_path(base, m2["version"])
@@ -194,5 +200,22 @@ def test_read_manifest_falls_back_on_vanished_current(spark, tmp_path, monkeypat
             raise FileNotFoundError(path)  # GC'd between listing and read
         return real_read(s, path)
 
+    # newest (v3) is torn -> step down; v2 vanished mid-fallback -> step
+    # down again; v1 is the newest CONSISTENT snapshot
     monkeypatch.setattr(versioned.fsutil, "read_text", vanishing_read)
     assert read_manifest(spark, base)["version"] == m1["version"]
+
+    # but a read failure on the NEWEST manifest itself is transient, not a
+    # GC race (GC never deletes the newest) — serving v2 would be stale
+    monkeypatch.setattr(versioned.fsutil, "read_text", real_read)
+    fsutil.delete(spark, versioned._manifest_path(base, m2["version"] + 1))
+    newest_gone = versioned._manifest_path(base, m2["version"])
+
+    def failing_newest(s, path):
+        if path == newest_gone:
+            raise IOError("transient FS failure")
+        return real_read(s, path)
+
+    monkeypatch.setattr(versioned.fsutil, "read_text", failing_newest)
+    with pytest.raises(IOError, match="transient"):
+        read_manifest(spark, base)

@@ -659,7 +659,7 @@ def test_online_migration_zero_downtime_ingest(spark, tmp_path):
     assert {d for _, d in old_owners} == {1, 2, 11}
 
     # finish the migration (resume semantics: same target)
-    n = migrate_registry_online(spark, registry, 32)
+    n = migrate_registry_online(spark, registry, 32, settle_sec=0.0)
     final = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
     assert final["n_prefixes"] == 32 and final["data_dir"] == new_dir
     assert "migration" not in final
@@ -746,11 +746,11 @@ def test_online_migration_crash_rerun_and_maintenance_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="migrate_registry_online"):
         migrate_registry(spark, registry, 64)
     with pytest.raises(ValueError, match="finish that migration"):
-        migrate_registry_online(spark, registry, 64)
+        migrate_registry_online(spark, registry, 64, settle_sec=0.0)
 
     # same-target re-run completes; duplicates from the partial copy are
     # tolerated on disk and absent from the distinct owners set
-    n = migrate_registry_online(spark, registry, 16)
+    n = migrate_registry_online(spark, registry, 16, settle_sec=0.0)
     assert n == len(before)
     got = {
         (r["bucket"], r["doc_id"])
@@ -761,7 +761,7 @@ def test_online_migration_crash_rerun_and_maintenance_guards(spark, tmp_path):
     }
     assert got == before
     # re-running AFTER completion is a cleanup no-op with the same count
-    assert migrate_registry_online(spark, registry, 16) == n
+    assert migrate_registry_online(spark, registry, 16, settle_sec=0.0) == n
     # compaction now works against the new layout and keeps the owners set
     assert compact_registry(spark, registry, n_files=2) == len(before)
     final = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
