@@ -320,12 +320,8 @@ def main() -> None:
     # release the serving entry's pinned cache + driver replica before the
     # remaining timed segments (this host is jitter-documented; leaked
     # executor storage / driver RSS must not skew them)
-    entry = svc._entries["words"]
-    if entry.index.is_cached:
-        entry.index.unpersist(blocking=True)
-    if entry.dictionary.is_cached:
-        entry.dictionary.unpersist(blocking=True)
-    del svc, entry
+    svc.remove("words")
+    del svc
 
     w_index.unpersist()
     words.unpersist()

@@ -450,6 +450,25 @@ class SuggestService:
         with self._lock:
             return sorted(self._entries)
 
+    def remove(self, name: str) -> None:
+        """Unregister ``name`` and RELEASE its serving state: unpersists the
+        entry's cached index and dictionary (including caches warm() pinned
+        — callers that handed in a cached dictionary and still use it
+        elsewhere should not rely on it staying cached) and drops the hot
+        replica / value map with the entry.  The teardown counterpart of
+        the add_* registrations (benchmarks and service shutdown both need
+        it; reaching into the registry from outside would bypass the
+        locks)."""
+        with self._mutate:
+            with self._lock:
+                e = self._entries.pop(name, None)
+            if e is None:
+                raise KeyError(f"unknown dictionary: {name!r}")
+            if e.index.is_cached:
+                e.index.unpersist(blocking=True)
+            if e.dictionary.is_cached:
+                e.dictionary.unpersist(blocking=True)
+
     def warm(
         self,
         name: str,

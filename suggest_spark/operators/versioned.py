@@ -117,15 +117,19 @@ def read_manifest(spark: SparkSession, base: str, version: int | None = None) ->
             if v == versions[0]:
                 raise
         except (OSError,) + _TRANSIENT_READ_ERRORS:
-            # a VANISHED file (deleted by a concurrent gc_versions between
-            # the listing and this read) — but GC never deletes the newest
-            # manifest, so on the NEWEST a read failure is a transient FS
-            # error and falling back would silently serve (or worse, let an
-            # upsert MERGE AGAINST AND REPUBLISH) a stale snapshot: raise.
-            # Older versions are only reached because newer ones were torn;
-            # there the GC race is real and stepping down stays consistent.
+            # Step down ONLY for a file that genuinely VANISHED (deleted by
+            # a concurrent gc_versions between the listing and this read).
+            # A file that still exists failed on a TRANSIENT FS error —
+            # falling back then would silently serve (or worse, let an
+            # upsert MERGE AGAINST AND REPUBLISH) a stale snapshot, at ANY
+            # depth: after a torn newest, the next readable version is the
+            # effective current and deserves the same protection.  The
+            # newest manifest additionally never falls back at all — GC
+            # never deletes it, so even "vanished" means foul play there.
             if v == newest or v == versions[0]:
                 raise
+            if fsutil.exists(spark, _manifest_path(base, v)):
+                raise  # still on disk: transient read failure, not a GC race
     raise FileNotFoundError(f"no readable manifest under {base}/{_MANIFEST_DIR}")
 
 

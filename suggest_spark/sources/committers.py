@@ -48,6 +48,18 @@ import uuid
 from . import fsutil
 
 
+def _parse_object_path(path: str) -> tuple[str, str]:
+    """``s3://bucket/key`` (any scheme) -> (bucket, key); raises on either
+    piece missing — shared by every S3 entry point so parsing can never
+    drift between them."""
+    if "://" not in path:
+        raise ValueError(f"s3 committer needs an s3://bucket/key path, got {path}")
+    bucket, _, key = path.split("://", 1)[1].partition("/")
+    if not bucket or not key:
+        raise ValueError(f"cannot parse bucket/key from {path}")
+    return bucket, key
+
+
 def make_s3_conditional_put_committer(client=None):
     """Manifest committer for ``s3://``/``s3a://`` paths using S3's
     conditional write — ``PutObject`` with ``IfNoneMatch: '*'`` (public S3
@@ -69,12 +81,7 @@ def make_s3_conditional_put_committer(client=None):
     def commit(spark, path: str, text: str, _retries: int = 5) -> None:
         from botocore.exceptions import ClientError
 
-        if "://" not in path:
-            raise ValueError(f"s3 committer needs an s3://bucket/key path, got {path}")
-        bucket_key = path.split("://", 1)[1]
-        bucket, _, key = bucket_key.partition("/")
-        if not bucket or not key:
-            raise ValueError(f"cannot parse bucket/key from {path}")
+        bucket, key = _parse_object_path(path)
         for attempt in range(_retries):
             try:
                 s3.put_object(
@@ -95,7 +102,8 @@ def make_s3_conditional_put_committer(client=None):
                     # uploading).  Its outcome is unknown yet: back off and
                     # retry — the retry sees 412/FileExistsError if it won,
                     # or succeeds if it failed.
-                    time.sleep(0.1 * (attempt + 1))
+                    if attempt + 1 < _retries:  # no pointless terminal sleep
+                        time.sleep(0.1 * (attempt + 1))
                     continue
                 raise
         raise IOError(
@@ -122,10 +130,7 @@ def make_s3_atomic_publisher(client=None):
     def publish(spark, path: str, text: str, overwrite: bool = False) -> None:
         if not overwrite:
             return exclusive(spark, path, text)
-        bucket_key = path.split("://", 1)[1] if "://" in path else ""
-        bucket, _, key = bucket_key.partition("/")
-        if not bucket or not key:
-            raise ValueError(f"cannot parse bucket/key from {path}")
+        bucket, key = _parse_object_path(path)
         s3.put_object(Bucket=bucket, Key=key, Body=text.encode("utf-8"))
 
     return publish

@@ -147,3 +147,32 @@ def test_service_boots_from_indexer_job_output(spark, tmp_path):
     svc.load_disc_index("cars", str(tmp_path / "db"), index_config_from_description(desc))
     got = svc.suggest("cars", "Nissan ma", JACCARD, 0.5, 2)
     assert [v for _, v in got] == ["Nissan Maxima", "Nissan March"]
+
+
+def test_warm_service_warms_all_and_tolerates_oversized_entries():
+    """http_service_job.warm_service: every dictionary gets warm() +
+    enable_hot_replica(); an entry above the replica bound (ValueError)
+    stays registered on the Spark path instead of failing the boot."""
+    from jobs.http_service_job import warm_service
+
+    calls = []
+
+    class _FakeService:
+        def dictionaries(self):
+            return ["big", "cars"]
+
+        def warm(self, name):
+            calls.append(("warm", name))
+
+        def enable_hot_replica(self, name):
+            calls.append(("replica", name))
+            if name == "big":
+                raise ValueError("index has 10^9 postings > max_postings")
+
+    warm_service(_FakeService())
+    assert calls == [
+        ("warm", "big"),
+        ("replica", "big"),
+        ("warm", "cars"),
+        ("replica", "cars"),
+    ]

@@ -193,29 +193,34 @@ def test_read_manifest_vanished_file_semantics(spark, tmp_path, monkeypatch):
     )
 
     real_read = fsutil.read_text
-    gone = versioned._manifest_path(base, m2["version"])
+    stale_listing = [m1["version"], m2["version"], m2["version"] + 1]
 
-    def vanishing_read(s, path):
-        if path == gone:
-            raise FileNotFoundError(path)  # GC'd between listing and read
-        return real_read(s, path)
-
-    # newest (v3) is torn -> step down; v2 vanished mid-fallback -> step
-    # down again; v1 is the newest CONSISTENT snapshot
-    monkeypatch.setattr(versioned.fsutil, "read_text", vanishing_read)
+    # GENUINE GC race: v2's file is deleted AFTER the listing captured it.
+    # newest (v3) is torn -> step down; v2 vanished (and is verifiably
+    # absent on disk) -> step down again; v1 is the newest CONSISTENT
+    # snapshot.
+    fsutil.delete(spark, versioned._manifest_path(base, m2["version"]))
+    monkeypatch.setattr(
+        versioned, "list_manifest_versions", lambda s, b: stale_listing
+    )
     assert read_manifest(spark, base)["version"] == m1["version"]
 
-    # but a read failure on the NEWEST manifest itself is transient, not a
-    # GC race (GC never deletes the newest) — serving v2 would be stale
-    monkeypatch.setattr(versioned.fsutil, "read_text", real_read)
-    fsutil.delete(spark, versioned._manifest_path(base, m2["version"] + 1))
-    newest_gone = versioned._manifest_path(base, m2["version"])
+    # a read failure on a file that STILL EXISTS is transient, not a GC
+    # race — at any depth, falling back would serve a stale snapshot
+    monkeypatch.undo()
+    m2b = write_versioned_index(
+        build_ngram_index(
+            spark.createDataFrame(DICT + [(3, "Honda Jazz")], "doc_id long, value string")
+        ),
+        base,
+    )
+    transient = versioned._manifest_path(base, m2b["version"])
 
-    def failing_newest(s, path):
-        if path == newest_gone:
+    def failing_read(s, path):
+        if path == transient:
             raise IOError("transient FS failure")
         return real_read(s, path)
 
-    monkeypatch.setattr(versioned.fsutil, "read_text", failing_newest)
+    monkeypatch.setattr(versioned.fsutil, "read_text", failing_read)
     with pytest.raises(IOError, match="transient"):
-        read_manifest(spark, base)
+        read_manifest(spark, base)  # newest: raise, never fall back

@@ -168,3 +168,25 @@ def test_replica_refuses_oversized_index(spark):
     index = build_ngram_index(d, config=DEFAULT_CONFIG)
     with pytest.raises(ValueError, match="max_postings"):
         HotReplica.from_frames(index, d, DEFAULT_CONFIG, max_postings=10)
+
+
+def test_service_remove_releases_serving_state(spark):
+    """remove(): the teardown counterpart of add_* — unregisters the entry
+    and unpersists what warm() pinned, so benchmarks/shutdown don't reach
+    into the registry internals."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_ram_index("cars", d)
+    svc.warm("cars", metrics=[JACCARD])
+    svc.enable_hot_replica("cars")
+    entry = svc._entries["cars"]
+    assert entry.index.is_cached and entry.dictionary.is_cached
+    svc.remove("cars")
+    assert svc.dictionaries() == []
+    assert not entry.index.is_cached and not entry.dictionary.is_cached
+    with pytest.raises(KeyError):
+        svc.suggest("cars", "lada", JACCARD, 0.5, 3)
+    with pytest.raises(KeyError):
+        svc.remove("cars")
