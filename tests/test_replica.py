@@ -190,3 +190,32 @@ def test_service_remove_releases_serving_state(spark):
         svc.suggest("cars", "lada", JACCARD, 0.5, 3)
     with pytest.raises(KeyError):
         svc.remove("cars")
+
+
+def test_http_routes_identical_with_replica_enabled(spark):
+    """The HTTP front door must serve byte-identical JSON whether the entry
+    answers via the Spark path or the hot replica (the service job enables
+    replicas at boot — the route contract cannot depend on which tier
+    answered)."""
+    pytest.importorskip("flask")
+    from suggest_spark.serving.http_api import create_app
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_ram_index("cars", d)
+    app = create_app(svc)
+    app.testing = True
+    client = app.test_client()
+    qs = {"metric": "Jaccard", "similarity": 0.4, "topK": 4}
+    want_s = client.get("/suggest/cars/kamaz kal/", query_string=qs).get_json()
+    want_a = client.get("/autocomplete/cars/lada/", query_string={"topK": 3}).get_json()
+    assert want_s and want_a
+
+    svc.enable_hot_replica("cars")
+    got_s = client.get("/suggest/cars/kamaz kal/", query_string=qs)
+    got_a = client.get("/autocomplete/cars/lada/", query_string={"topK": 3})
+    assert got_s.status_code == 200 and got_s.get_json() == want_s
+    assert got_a.status_code == 200 and got_a.get_json() == want_a
+    # error mapping unchanged through the replica tier
+    assert client.get("/suggest/nope/x/", query_string=qs).status_code == 500
+    svc.remove("cars")

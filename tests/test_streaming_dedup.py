@@ -766,3 +766,59 @@ def test_online_migration_crash_rerun_and_maintenance_guards(spark, tmp_path):
     assert compact_registry(spark, registry, n_files=2) == len(before)
     final = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
     assert final["n_prefixes"] == 16 and final["data_dir"] == mig["dir"]
+
+
+def test_online_migration_preserves_string_id_type(spark, tmp_path):
+    """Online migration must carry the registry's recorded id_type through
+    the re-layout: a string-id registry migrates losslessly and keeps
+    rejecting mismatched streams afterwards."""
+    import pytest
+
+    from suggest_spark.sources import fsutil
+    from suggest_spark.streaming.dedup import migrate_registry_online, near_dup_ingest
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    registry = str(tmp_path / "registry")
+    _write_jsonl(
+        ddir / "b1.json",
+        [{"doc_id": "doc-a", "text": DOC_A}, {"doc_id": "doc-b", "text": DOC_B}],
+    )
+    s = spark.readStream.schema("doc_id string, text string").json(str(ddir))
+    results = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            results[r["doc_id"]] = r["dup_of"]
+
+    near_dup_ingest(s, registry, sink, n_prefixes=8).awaitTermination(180)
+    assert results == {"doc-a": None, "doc-b": None}
+    before = {
+        (r["bucket"], r["doc_id"]) for r in spark.read.parquet(registry).collect()
+    }
+
+    n = migrate_registry_online(spark, registry, 32, settle_sec=0.0)
+    assert n == len(before)
+    meta = json.loads(fsutil.read_text(spark, f"{registry}/_meta.json"))
+    assert meta["id_type"] == "string" and meta["n_prefixes"] == 32
+    after = {
+        (r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(f"{registry}/{meta['data_dir']}")
+        .select("bucket", "doc_id")
+        .distinct()
+        .collect()
+    }
+    assert after == before
+
+    # post-migration: string-id admissions still work, long ids still refused
+    results.clear()
+    ddir2 = tmp_path / "docs2"
+    ddir2.mkdir()
+    _write_jsonl(ddir2 / "b2.json", [{"doc_id": "doc-z", "text": DOC_A}])
+    s2 = spark.readStream.schema("doc_id string, text string").json(str(ddir2))
+    near_dup_ingest(s2, registry, sink).awaitTermination(180)
+    assert results == {"doc-z": "doc-a"}
+    s3 = spark.readStream.schema("doc_id long, text string").json(str(ddir2))
+    q = near_dup_ingest(s3, registry, lambda df, bid: None)
+    with pytest.raises(Exception, match="id_type"):
+        q.awaitTermination(180)
