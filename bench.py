@@ -373,6 +373,13 @@ def main() -> None:
     hits = sum(len(bf[k] & got.get(k, set())) for k in bf)
     extra["ann_ivf_recall_at_5"] = round(hits / max(sum(len(v) for v in bf.values()), 1), 4)
     extra["ann_ivf_probe_frac"] = round(4 / 32, 4)
+    # round-5 auto-tuner: the probe depth a 0.9-recall target actually needs
+    # on this corpus (structure-free embeddings are ANN's worst case — the
+    # tuner's honest answer here is a deep probe; compare with the clustered
+    # fixture below where structure lets it stay shallow)
+    tuned = ann.tune_n_probe(emb, cents, k=5, target_recall=0.9, n_queries=64)
+    extra["ann_ivf_tuned_n_probe"] = tuned["n_probe"]
+    extra["ann_ivf_tuned_recall_at_5"] = tuned["achieved_recall"]
 
     # IVF recall on a CLUSTERED corpus (fixed-size quality metric, not a
     # throughput segment): real embedding corpora are clustered, and this is
@@ -404,6 +411,9 @@ def main() -> None:
         chits / max(sum(len(v) for v in cbf.values()), 1), 4
     )
     extra["ann_ivf_clustered_probe_frac"] = round(8 / 32, 4)
+    ctuned = ann.tune_n_probe(cemb, ccents, k=5, target_recall=0.9, n_queries=64)
+    extra["ann_ivf_clustered_tuned_n_probe"] = ctuned["n_probe"]
+    extra["ann_ivf_clustered_tuned_recall_at_5"] = ctuned["achieved_recall"]
     cemb.unpersist()
 
     # ---- text stats ---------------------------------------------------------
