@@ -317,6 +317,17 @@ def main() -> None:
     extra["lone_request_replica_p95_ms"] = round(
         rep_samples[int(0.95 * (len(rep_samples) - 1))] * 1000, 3
     )
+    # incremental replica maintenance (round-5): a 100-doc trickle upsert
+    # patches the hot snapshot in O(delta) instead of paying the full
+    # build_sec rebuild above — measured driver-side on the same replica.
+    patch_delta = [
+        (10_000_000 + i, _misspell(rng, w_names[rng.randint(len(w_names))]))
+        for i in range(100)
+    ]
+    rep = svc._entries["words"].replica
+    t0 = time.time()
+    rep.patched(patch_delta, [0, 1, 2])
+    extra["lone_request_replica_patch100_ms"] = round((time.time() - t0) * 1000, 3)
     # release the serving entry's pinned cache + driver replica before the
     # remaining timed segments (this host is jitter-documented; leaked
     # executor storage / driver RSS must not skew them)

@@ -40,6 +40,36 @@ from ..functions.metrics import Metric
 from .indexing import IndexStats, build_ngram_index, read_ngram_index, write_ngram_index
 from .suggest import autocomplete_firstk, suggest_topk_auto
 
+#: largest dictionary (rows) admitted into a driver-side value map — shared
+#: by warm()'s build and upsert_disc_index's patch (a patched map must obey
+#: the same bound its build did)
+DEFAULT_VALUE_MAP_MAX_ROWS = 2_000_000
+
+
+def _collect_hot_delta(
+    new_docs: DataFrame, deleted_ids: DataFrame | None, max_rows: int
+):
+    """``(upserts, deleted)`` as driver lists when BOTH frames are ≤
+    ``max_rows``; ``None`` (patching declined) otherwise.  ``limit(max+1)``
+    bounds the transfer — an over-bound delta costs one truncated Arrow
+    batch, never a full collect."""
+    pdf = new_docs.select("doc_id", "value").limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    ups = list(zip(pdf["doc_id"].tolist(), pdf["value"].tolist()))
+    dels: list = []
+    if deleted_ids is not None:
+        col = deleted_ids.columns[0]
+        dpdf = (
+            deleted_ids.select(F.col(col).alias("doc_id"))
+            .limit(max_rows + 1)
+            .toPandas()
+        )
+        if len(dpdf) > max_rows:
+            return None
+        dels = dpdf["doc_id"].tolist()
+    return ups, dels
+
 
 @dataclass(frozen=True)
 class _Entry:
@@ -61,10 +91,11 @@ class _Entry:
     # would serve upserted docs with null values and a later rebuild from
     # the stale artifact would silently drop them
     dict_path: str | None = None
-    # serving hot state, built by warm()/enable_hot_replica() and NEVER
-    # carried across a mutator swap (a post-upsert entry must not serve a
-    # pre-upsert value or posting — mutators install entries without these,
-    # and the operator re-warms after mutating):
+    # serving hot state, built by warm()/enable_hot_replica().  A mutator
+    # swap must never serve a pre-upsert value or posting: upsert_disc_index
+    # PATCHES both to the exact post-upsert snapshot when the delta is small
+    # (O(delta), replica.patched) and drops them otherwise — an operator
+    # re-warms after a dropped swap:
     # value_map — driver-side {doc_id: value}; lets the serving batch path
     #   skip the per-request dictionary broadcast (the single biggest
     #   per-request cost on a large dictionary) and resolve the ≤ k·|batch|
@@ -243,6 +274,7 @@ class SuggestService:
         name: str,
         new_docs: DataFrame,
         deleted_ids: DataFrame | None = None,
+        max_hot_delta: int = 100_000,
     ) -> dict:
         """Incremental hot reindex of a DISC entry: merge/delete documents
         through :func:`upsert_versioned_index` (only affected ``size=``
@@ -263,7 +295,17 @@ class SuggestService:
         dictionary must change TOGETHER or a restart serves upserted docs
         with null values.  A crash between the index write and the
         dictionary write leaves exactly that transient state; the upsert is
-        idempotent, so retrying it heals."""
+        idempotent, so retrying it heals.
+
+        Serving stays HOT across the upsert: when the entry has a warm
+        ``value_map`` and/or a :class:`~suggest_spark.serving.replica.
+        HotReplica` and the delta is ≤ ``max_hot_delta`` rows, both are
+        patched in O(delta) to the exact post-upsert snapshot
+        (:meth:`HotReplica.patched`) and swapped in with the new entry —
+        lone requests keep their millisecond path with no rebuild and no
+        window of pre-upsert answers.  A larger delta (or a patch that
+        would exceed the replica's admitted ``max_postings``) drops the
+        hot state as before; re-run :meth:`warm` / :meth:`enable_hot_replica`."""
         from .indexing import upsert_ngram_index
         from .versioned import (
             gc_versions,
@@ -280,6 +322,12 @@ class SuggestService:
             e = self._get(name)
             if e.path is None:
                 raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
+            # bounded delta collect for hot-state patching — BEFORE any
+            # mutation (a failure here leaves the entry untouched, and the
+            # collected rows are exactly the frames the upsert below applies)
+            delta = None
+            if e.replica is not None or e.value_map is not None:
+                delta = _collect_hot_delta(new_docs, deleted_ids, max_hot_delta)
             # invalidate persisted stats BEFORE the index changes: a later boot
             # (load_disc_index) must never re-arm pre-upsert stats against the
             # post-upsert index (stale doc_terms ⇒ wrong prefix-plan scores)
@@ -346,6 +394,27 @@ class SuggestService:
             # stats are NOT carried over: the index just changed, and serving
             # the prefix plan against the previous doc_terms would be wrong
             # (_Entry.stats).  stats_path survives so refresh_stats() re-arms.
+            #
+            # hot state IS carried over when the delta was collectible:
+            # patched in O(delta) to the exact post-upsert snapshot, so the
+            # millisecond path never goes cold and never serves a pre-upsert
+            # row.  Patch failures degrade to the old drop-and-rewarm.
+            hot: dict = {}
+            if delta is not None:
+                ups, dels = delta
+                if e.value_map is not None:
+                    vm = dict(e.value_map)
+                    for d in {int(x) for x in dels} | {int(d) for d, _ in ups}:
+                        vm.pop(d, None)
+                    for d, v in ups:
+                        vm[int(d)] = v
+                    if len(vm) <= DEFAULT_VALUE_MAP_MAX_ROWS:
+                        hot["value_map"] = vm
+                if e.replica is not None:
+                    try:
+                        hot["replica"] = e.replica.patched(ups, dels)
+                    except ValueError:
+                        pass  # over the admitted bound: Spark path takes over
             self._swap(
                 name,
                 _Entry(
@@ -356,6 +425,7 @@ class SuggestService:
                     owns_dict=True,
                     stats_path=e.stats_path or (f"{e.path}_stats" if e.path else None),
                     dict_path=dict_path,
+                    **hot,
                 ),
             )
             if versioned:
@@ -475,7 +545,7 @@ class SuggestService:
         metrics=None,
         query: str = "warm",
         topk: int = 3,
-        value_map_max_rows: int = 2_000_000,
+        value_map_max_rows: int = DEFAULT_VALUE_MAP_MAX_ROWS,
     ) -> dict:
         """Pre-warm the serving path for ``name`` so a user's FIRST lone
         request doesn't pay the one-time costs: whole-stage-codegen

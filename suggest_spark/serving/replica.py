@@ -68,6 +68,7 @@ class HotReplica:
         values: dict,
         config: IndexConfig,
         n_postings: int,
+        max_postings: int = DEFAULT_MAX_POSTINGS,
     ):
         #: term -> (sizes int32[], doc_ids int64[], mults int32[]) — the
         #: posting list, multiplicity-annotated (multiset semantics)
@@ -75,6 +76,10 @@ class HotReplica:
         self._values = values
         self.config = config
         self.n_postings = n_postings
+        #: the driver-memory bound this replica was admitted under; patched
+        #: successors enforce it too (a trickle of upserts must not grow a
+        #: replica past what enable-time refused)
+        self.max_postings = max_postings
 
     # -- construction --------------------------------------------------------
 
@@ -116,7 +121,95 @@ class HotReplica:
                 postings[t] = (sizes[s:e], docs[s:e], mults[s:e])
         vdf = dictionary.select("doc_id", "value").toPandas()
         values = dict(zip(vdf["doc_id"].tolist(), vdf["value"].tolist()))
-        return cls(postings, values, config, n)
+        return cls(postings, values, config, n, max_postings=max_postings)
+
+    # -- incremental maintenance ----------------------------------------------
+
+    def patched(self, upserts, deleted_ids=()) -> "HotReplica":
+        """New replica with ``upserts`` applied and ``deleted_ids`` removed —
+        O(delta terms), zero Spark jobs, zero driver re-transfer.
+
+        ``upserts`` is an iterable of ``(doc_id, value)`` (a doc_id already
+        present is replaced); ``deleted_ids`` an iterable of doc_ids.  A doc
+        in both is replaced (delete applies first, mirroring
+        ``upsert_versioned_index``'s drop-then-append).  The receiver is
+        untouched (replicas are immutable snapshots — the caller swaps the
+        result in atomically, exactly like the versioned index's
+        manifest swap); untouched terms share their numpy arrays with the
+        parent, so a trickle patch costs memory proportional to the delta.
+
+        The old postings of a replaced/deleted doc are located by
+        re-tokenizing its CURRENT dictionary value with the same
+        :func:`~suggest_spark.functions.analysis.tokenize` chain the index
+        build used (``ngram_terms_col`` ≡ ``tokenize``, hypothesis-tested in
+        tests/test_properties.py) — the replica's values map IS the
+        dictionary snapshot, so this is exact.  Contract (same as
+        :meth:`from_frames`): every indexed doc resolves in the dictionary.
+        A delete of an unknown doc_id is a no-op (idempotent, like the
+        versioned upsert); an upsert of an unknown doc_id is an add.
+
+        Raises ``ValueError`` when the result would exceed the
+        ``max_postings`` bound this replica was admitted under — the caller
+        falls back to the Spark path instead of growing the driver unbounded.
+        """
+        ups = [(int(d), v) for d, v in upserts]
+        up_ids = {d for d, _ in ups}
+        removed = up_ids | {int(d) for d in deleted_ids}
+
+        # terms whose posting lists lose rows, keyed by term -> doc_ids
+        rm_by_term: dict[str, set] = {}
+        n = self.n_postings
+        for d in removed:
+            v = self._values.get(d)
+            if v is None:
+                continue  # unknown / null-valued doc: nothing indexed for it
+            for t in set(tokenize(v, self.config)):
+                rm_by_term.setdefault(t, set()).add(d)
+
+        # terms gaining rows, keyed by term -> [(doc_id, size, mult)]
+        add_by_term: dict[str, list] = {}
+        for d, v in ups:
+            terms = tokenize(v, self.config) if v is not None else []
+            size = len(terms)
+            for t, m in Counter(terms).items():
+                add_by_term.setdefault(t, []).append((d, size, m))
+                n += m
+
+        postings = dict(self._postings)  # shallow: untouched terms shared
+        for t in set(rm_by_term) | set(add_by_term):
+            cur = postings.get(t)
+            if cur is not None:
+                sizes, docs, mults = cur
+                rmset = rm_by_term.get(t)
+                if rmset:
+                    keep = ~np.isin(docs, np.fromiter(rmset, np.int64, len(rmset)))
+                    n -= int(mults[~keep].sum())
+                    sizes, docs, mults = sizes[keep], docs[keep], mults[keep]
+            else:
+                sizes = np.empty(0, np.int32)
+                docs = np.empty(0, np.int64)
+                mults = np.empty(0, np.int32)
+            adds = add_by_term.get(t)
+            if adds:
+                sizes = np.concatenate([sizes, np.array([a[1] for a in adds], np.int32)])
+                docs = np.concatenate([docs, np.array([a[0] for a in adds], np.int64)])
+                mults = np.concatenate([mults, np.array([a[2] for a in adds], np.int32)])
+            if len(docs):
+                postings[t] = (sizes, docs, mults)
+            else:
+                postings.pop(t, None)
+
+        if n > self.max_postings:
+            raise ValueError(
+                f"patched replica would hold {n} postings > max_postings="
+                f"{self.max_postings}; rebuild on the Spark path instead"
+            )
+        values = dict(self._values)
+        for d in removed:
+            values.pop(d, None)
+        for d, v in ups:
+            values[d] = v
+        return HotReplica(postings, values, self.config, n, max_postings=self.max_postings)
 
     # -- the scan-count core (shared by suggest and autocomplete) ------------
 

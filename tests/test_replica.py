@@ -118,10 +118,11 @@ def test_replica_parity_misspelled_sweep(spark):
             )
 
 
-def test_service_replica_end_to_end_and_mutator_drop(spark, tmp_path):
+def test_service_replica_end_to_end_and_mutator_patch(spark, tmp_path):
     """Service integration: enable_hot_replica serves identical results to
-    the Spark path; an upsert DROPS the replica (never serves a pre-mutation
-    snapshot) and the Spark path serves the post-upsert truth."""
+    the Spark path; a small upsert PATCHES the replica in O(delta) — serving
+    stays on the millisecond path and answers the post-upsert truth with no
+    window of pre-mutation results."""
     from suggest_spark.functions.metrics import JACCARD
 
     svc = SuggestService(spark)
@@ -138,12 +139,63 @@ def test_service_replica_end_to_end_and_mutator_drop(spark, tmp_path):
 
     new = spark.createDataFrame([(9, "kamaz kaloric")], "doc_id long, value string")
     svc.upsert_disc_index("cars", new)
-    assert svc._entries["cars"].replica is None  # mutator dropped it
+    patched = svc._entries["cars"].replica
+    assert patched is not None  # mutator patched it, serving stays hot
     post = svc.suggest("cars", "kamaz kaloric", JACCARD, 0.5, 2)
     assert post and post[0][1] == "kamaz kaloric"
-    # re-enabling snapshots the POST-upsert state
+    # the patched replica must be indistinguishable from a fresh snapshot of
+    # the POST-upsert state (and the answer above came FROM the replica)
+    assert patched.suggest("kamaz kaloric", JACCARD, 0.5, 2) == post
     svc.enable_hot_replica("cars")
+    rebuilt = svc._entries["cars"].replica
+    assert rebuilt is not patched
+    assert rebuilt.n_postings == patched.n_postings
     assert svc.suggest("cars", "kamaz kaloric", JACCARD, 0.5, 2) == post
+
+
+def test_service_upsert_drops_hot_state_over_bound(spark, tmp_path):
+    """A delta larger than max_hot_delta declines the patch: the mutator
+    falls back to dropping the replica (never serves pre-upsert rows)."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_disc_index("cars", d, str(tmp_path / "idx"))
+    svc.enable_hot_replica("cars")
+    new = spark.createDataFrame(
+        [(20, "gazel next"), (21, "kamaz master")], "doc_id long, value string"
+    )
+    svc.upsert_disc_index("cars", new, max_hot_delta=1)
+    assert svc._entries["cars"].replica is None
+    post = svc.suggest("cars", "gazel next", JACCARD, 0.5, 2)
+    assert post and post[0][1] == "gazel next"
+
+
+def test_service_upsert_patches_value_map(spark, tmp_path):
+    """warm()'s value map survives a small upsert patched to the post-upsert
+    dictionary: replaced, deleted and added docs all resolve correctly on the
+    broadcast-free batch path."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_disc_index("cars", d, str(tmp_path / "idx"))
+    svc.warm("cars", metrics=[JACCARD])
+    assert svc._entries["cars"].value_map is not None
+
+    new = spark.createDataFrame(
+        [(0, "kamaz replaced"), (9, "gazel next")], "doc_id long, value string"
+    )
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    svc.upsert_disc_index("cars", new, deleted_ids=dels)
+    vm = svc._entries["cars"].value_map
+    assert vm is not None
+    assert vm[0] == "kamaz replaced" and vm[9] == "gazel next" and 3 not in vm
+    # the served answers resolve values through the patched map and agree
+    # with the post-upsert dictionary truth
+    got = svc.suggest("cars", "kamaz replaced", JACCARD, 0.5, 2)
+    assert got and got[0][1] == "kamaz replaced"
+    assert all(v != "lada kalina" for _, v in svc.suggest("cars", "lada kalina", JACCARD, 0.1, 7))
 
 
 def test_warm_value_map_path_identical(spark):
@@ -159,6 +211,108 @@ def test_warm_value_map_path_identical(spark):
     assert set(timings) == {"autocomplete", "suggest_cosine"}
     assert svc._entries["cars"].value_map is not None
     assert [svc.suggest("cars", q, COSINE, 0.4, 4) for q in MULTISET_QUERIES] == golden
+
+
+def _replica_internals(replica):
+    """Canonical (term -> sorted (size, doc, mult) triples) for equality."""
+    return {
+        t: sorted(zip(s.tolist(), d.tolist(), m.tolist()))
+        for t, (s, d, m) in replica._postings.items()
+    }
+
+
+def test_replica_patched_matches_from_scratch(spark):
+    """patched() must be indistinguishable from a from-scratch from_frames
+    build of the post-delta state: identical posting internals, identical
+    n_postings, identical suggest/autocomplete answers across metrics —
+    exercising replace (duplicate-gram value), delete, add (Cyrillic),
+    upsert-beats-delete, and delete-of-unknown (no-op)."""
+    base = spark.createDataFrame(
+        list(enumerate(MULTISET_VALS)), "doc_id long, value string"
+    )
+    index = build_ngram_index(base, config=DEFAULT_CONFIG)
+    parent = HotReplica.from_frames(index, base, DEFAULT_CONFIG)
+
+    upserts = [
+        (0, "kamaz kamaz kaliri"),  # replace, heavier duplicate grams
+        (10, "газель некст"),  # add, Cyrillic
+        (11, "uaz patriot"),  # add
+        (4, "toyota camry"),  # in BOTH upserts and deletes: upsert wins
+    ]
+    deletes = [2, 4, 99]  # 99 unknown: no-op
+    got = parent.patched(upserts, deletes)
+
+    final = {i: v for i, v in enumerate(MULTISET_VALS)}
+    for d in deletes:
+        final.pop(d, None)
+    for d, v in upserts:
+        final[d] = v
+    post = spark.createDataFrame(sorted(final.items()), "doc_id long, value string")
+    want = HotReplica.from_frames(build_ngram_index(post, config=DEFAULT_CONFIG), post, DEFAULT_CONFIG)
+
+    assert got.n_postings == want.n_postings
+    assert _replica_internals(got) == _replica_internals(want)
+    assert got._values == want._values
+    for metric in METRICS.values():
+        for q in MULTISET_QUERIES + ["газель", "uaz", "toyota camry"]:
+            assert got.suggest(q, metric, 0.4, 5) == want.suggest(q, metric, 0.4, 5), (
+                metric.name,
+                q,
+            )
+    for q in ["kamaz", "газ", "ua", ""]:
+        assert got.autocomplete(q, 3) == want.autocomplete(q, 3), q
+
+    # the parent snapshot is untouched (immutability): deleted doc still
+    # resolves, added doc absent
+    assert parent._values.get(2) == MULTISET_VALS[2]
+    assert 10 not in parent._values
+    assert parent.n_postings == index.count()
+
+
+def test_replica_patched_chain_and_empty_value(spark):
+    """A chain of patches equals one from-scratch build; a value that
+    tokenizes to nothing (empty string) indexes nothing but resolves."""
+    base = spark.createDataFrame(
+        list(enumerate(MULTISET_VALS)), "doc_id long, value string"
+    )
+    parent = HotReplica.from_frames(
+        build_ngram_index(base, config=DEFAULT_CONFIG), base, DEFAULT_CONFIG
+    )
+    r1 = parent.patched([(7, "lada niva")], [0])
+    r2 = r1.patched([(7, "lada niva travel"), (8, "")], [1])
+
+    final = {i: v for i, v in enumerate(MULTISET_VALS) if i not in (0, 1)}
+    final[7] = "lada niva travel"
+    final[8] = ""
+    post = spark.createDataFrame(sorted(final.items()), "doc_id long, value string")
+    want = HotReplica.from_frames(
+        build_ngram_index(post, config=DEFAULT_CONFIG), post, DEFAULT_CONFIG
+    )
+    assert got_equal_internals(r2, want)
+    assert r2._values[8] == ""
+    for q in ("lada", "kamaz", ""):
+        assert r2.autocomplete(q, 4) == want.autocomplete(q, 4)
+
+
+def got_equal_internals(a, b):
+    assert a.n_postings == b.n_postings
+    assert _replica_internals(a) == _replica_internals(b)
+    assert a._values == b._values
+    return True
+
+
+def test_replica_patched_respects_admitted_bound(spark):
+    base = spark.createDataFrame(
+        list(enumerate(MULTISET_VALS)), "doc_id long, value string"
+    )
+    index = build_ngram_index(base, config=DEFAULT_CONFIG)
+    n = index.count()
+    parent = HotReplica.from_frames(index, base, DEFAULT_CONFIG, max_postings=n + 3)
+    with pytest.raises(ValueError, match="max_postings"):
+        parent.patched([(50, "a long new value with many grams")], [])
+    # a net-shrinking patch is always admissible
+    shrunk = parent.patched([], [0])
+    assert shrunk.n_postings < n and shrunk.max_postings == n + 3
 
 
 def test_replica_refuses_oversized_index(spark):
