@@ -138,9 +138,10 @@ def install_sighup_reindex(reindex_job, background: bool = True) -> dict:
 
 
 def warm_service(service) -> None:
-    """Serving-latency boot step, re-run after every reindex (mutators drop
-    the hot state on purpose — it must never describe a pre-mutation
-    snapshot): warm() compiles the per-metric codegen, pins the entry's
+    """Serving-latency boot step, re-run after every reindex (a full rebuild
+    installs entries without hot state — it must never describe a
+    pre-mutation snapshot; small upserts instead PATCH it in place,
+    service.upsert_disc_index): warm() compiles the per-metric codegen, pins the entry's
     index/dictionary and collects the value map; enable_hot_replica then
     installs the in-driver snapshot for millisecond lone requests, falling
     back to the (always-correct, coalesced) Spark path for entries above

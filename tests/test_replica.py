@@ -315,6 +315,52 @@ def test_replica_patched_respects_admitted_bound(spark):
     assert shrunk.n_postings < n and shrunk.max_postings == n + 3
 
 
+def test_replica_patched_random_sweep(spark):
+    """Seeded randomized sweep: arbitrary chains of replace/add/delete
+    deltas (unicode values, overlapping upsert+delete, empty strings) must
+    keep the patched replica bit-identical to a from-scratch build of the
+    surviving dictionary — internals and answers."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    rng = np.random.RandomState(17)
+    pool = MULTISET_VALS + ["", "a", "kamaz", "газель next", "uaz 452", "x y z"]
+
+    def rand_val():
+        words = [pool[rng.randint(len(pool))] for _ in range(rng.randint(1, 3))]
+        return " ".join(w for w in words if w) if any(words) else ""
+
+    for round_i in range(5):
+        n0 = rng.randint(3, 9)
+        state = {i: rand_val() for i in range(n0)}
+        base = spark.createDataFrame(sorted(state.items()), "doc_id long, value string")
+        rep = HotReplica.from_frames(
+            build_ngram_index(base, config=DEFAULT_CONFIG), base, DEFAULT_CONFIG
+        )
+        for _ in range(3):  # chain of patches
+            ups = [
+                (int(rng.randint(0, 12)), rand_val()) for _ in range(rng.randint(0, 4))
+            ]
+            dels = [int(rng.randint(0, 12)) for _ in range(rng.randint(0, 3))]
+            rep = rep.patched(ups, dels)
+            for d in set(dels) | {d for d, _ in ups}:
+                state.pop(d, None)
+            for d, v in ups:
+                state[d] = v
+        if state:
+            post = spark.createDataFrame(
+                sorted(state.items()), "doc_id long, value string"
+            )
+        else:
+            post = spark.createDataFrame([], "doc_id long, value string")
+        want = HotReplica.from_frames(
+            build_ngram_index(post, config=DEFAULT_CONFIG), post, DEFAULT_CONFIG
+        )
+        assert got_equal_internals(rep, want), round_i
+        for q in ("kamaz", "газель", "uaz 452", "a"):
+            assert rep.suggest(q, JACCARD, 0.3, 5) == want.suggest(q, JACCARD, 0.3, 5)
+            assert rep.autocomplete(q, 4) == want.autocomplete(q, 4)
+
+
 def test_replica_refuses_oversized_index(spark):
     d = spark.createDataFrame(
         [(i, f"value number {i}") for i in range(50)], "doc_id long, value string"
