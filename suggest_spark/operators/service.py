@@ -30,6 +30,7 @@ reader-isolated — rebuild once with ``add_disc_index`` to upgrade.
 from __future__ import annotations
 
 import threading
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,11 +53,23 @@ def _collect_hot_delta(
     """``(upserts, deleted)`` as driver lists when BOTH frames are ≤
     ``max_rows``; ``None`` (patching declined) otherwise.  ``limit(max+1)``
     bounds the transfer — an over-bound delta costs one truncated Arrow
-    batch, never a full collect."""
+    batch, never a full collect.
+
+    Null handling mirrors the upsert's join semantics so the patch can
+    never crash AFTER the disk mutation: a null id in ``deleted_ids`` is
+    dropped (a null key never matches the left_anti join — it was always a
+    no-op).  A null or DUPLICATE ``doc_id`` in ``new_docs`` DECLINES the
+    patch: both are out-of-contract rows the on-disk union would store
+    verbatim (two dictionary rows for one doc) while a driver map can hold
+    only one value per doc — the drop-and-rewarm path is always correct."""
     pdf = new_docs.select("doc_id", "value").limit(max_rows + 1).toPandas()
-    if len(pdf) > max_rows:
+    if (
+        len(pdf) > max_rows
+        or pdf["doc_id"].isna().any()
+        or pdf["doc_id"].duplicated().any()
+    ):
         return None
-    ups = list(zip(pdf["doc_id"].tolist(), pdf["value"].tolist()))
+    ups = list(zip((int(d) for d in pdf["doc_id"]), pdf["value"].tolist()))
     dels: list = []
     if deleted_ids is not None:
         col = deleted_ids.columns[0]
@@ -67,7 +80,7 @@ def _collect_hot_delta(
         )
         if len(dpdf) > max_rows:
             return None
-        dels = dpdf["doc_id"].tolist()
+        dels = [int(d) for d in dpdf["doc_id"].dropna()]
     return ups, dels
 
 
@@ -104,6 +117,10 @@ class _Entry:
     #   snapshot for millisecond lone requests (reference mmap parity).
     value_map: dict | None = None
     replica: object | None = None
+    # the value_map_max_rows bound the map was ADMITTED under (warm()):
+    # upsert patching must grow/drop the map against the caller's bound,
+    # not the module default
+    value_map_max_rows: int | None = None
 
 
 class SuggestService:
@@ -282,8 +299,13 @@ class SuggestService:
         swap; grace-period GC) — the trickle-update form of the reference's
         full rebuild+swap (service.go:78-91), safe under concurrent queries.
         ``new_docs`` is ``(doc_id, value)``; a doc_id already present is
-        replaced.  Flat pre-versioned entries fall back to the legacy
-        in-place :func:`upsert_ngram_index` (NOT reader-isolated).
+        replaced.  ``new_docs`` must be DETERMINISTIC: the upsert evaluates
+        it more than once (index write, dictionary merge, and — when hot
+        state is patched — the delta collect), so a nondeterministic plan
+        (``rand()``, ``current_timestamp()``, a source being appended to)
+        can diverge between what the index, the dictionary and the patched
+        hot state each saw.  Flat pre-versioned entries fall back to the
+        legacy in-place :func:`upsert_ngram_index` (NOT reader-isolated).
 
         Durability: the merged dictionary is ALWAYS persisted (versioned,
         key-bucketed: only buckets holding a changed doc_id are rewritten,
@@ -402,19 +424,37 @@ class SuggestService:
             hot: dict = {}
             if delta is not None:
                 ups, dels = delta
-                if e.value_map is not None:
-                    vm = dict(e.value_map)
-                    for d in {int(x) for x in dels} | {int(d) for d, _ in ups}:
-                        vm.pop(d, None)
-                    for d, v in ups:
-                        vm[int(d)] = v
-                    if len(vm) <= DEFAULT_VALUE_MAP_MAX_ROWS:
-                        hot["value_map"] = vm
-                if e.replica is not None:
-                    try:
-                        hot["replica"] = e.replica.patched(ups, dels)
-                    except ValueError:
-                        pass  # over the admitted bound: Spark path takes over
+                # the disk mutation above already committed — a patch
+                # failure here must degrade to drop-and-rewarm, never
+                # leave the service serving (and GC reclaiming) the
+                # pre-upsert snapshot because the swap was skipped
+                try:
+                    if e.replica is not None:
+                        try:
+                            hot["replica"] = e.replica.patched(ups, dels)
+                        except ValueError:
+                            pass  # over admitted max_postings: Spark path takes over
+                    if e.value_map is not None:
+                        if "replica" in hot:
+                            # single source of truth: the patched replica's
+                            # values map IS the post-upsert {doc_id: value}
+                            vm = hot["replica"].values_copy()
+                        else:
+                            vm = dict(e.value_map)
+                            for d in set(dels) | {d for d, _ in ups}:
+                                vm.pop(d, None)
+                            vm.update(dict(ups))  # last occurrence wins
+                        bound = e.value_map_max_rows or DEFAULT_VALUE_MAP_MAX_ROWS
+                        if len(vm) <= bound:
+                            hot["value_map"] = vm
+                            hot["value_map_max_rows"] = e.value_map_max_rows
+                except Exception as exc:  # unexpected: degrade loudly, stay correct
+                    warnings.warn(
+                        f"hot-state patch failed ({exc!r}); dropping serving "
+                        "hot state for re-warm",
+                        RuntimeWarning,
+                    )
+                    hot = {}
             self._swap(
                 name,
                 _Entry(
@@ -483,6 +523,7 @@ class SuggestService:
                     # must drop it)
                     value_map=e.value_map,
                     replica=e.replica,
+                    value_map_max_rows=e.value_map_max_rows,
                 ),
             )
             return written
@@ -591,7 +632,9 @@ class SuggestService:
                         r["doc_id"]: r["value"]
                         for r in e.dictionary.select("doc_id", "value").collect()
                     }
-                    e = dataclasses.replace(e, value_map=vm)
+                    e = dataclasses.replace(
+                        e, value_map=vm, value_map_max_rows=value_map_max_rows
+                    )
                     self._swap(name, e)
         timings: dict[str, float] = {}
         t0 = _time.time()

@@ -130,9 +130,12 @@ class HotReplica:
         O(delta terms), zero Spark jobs, zero driver re-transfer.
 
         ``upserts`` is an iterable of ``(doc_id, value)`` (a doc_id already
-        present is replaced); ``deleted_ids`` an iterable of doc_ids.  A doc
-        in both is replaced (delete applies first, mirroring
-        ``upsert_versioned_index``'s drop-then-append).  The receiver is
+        present is replaced; a doc_id repeated WITHIN the batch is compacted
+        last-occurrence-wins, the CDC convention — the values map can hold
+        one value per doc, so "both rows win" is unrepresentable here);
+        ``deleted_ids`` an iterable of doc_ids.  A doc in both is replaced
+        (delete applies first, mirroring ``upsert_versioned_index``'s
+        drop-then-append).  The receiver is
         untouched (replicas are immutable snapshots — the caller swaps the
         result in atomically, exactly like the versioned index's
         manifest swap); untouched terms share their numpy arrays with the
@@ -152,7 +155,11 @@ class HotReplica:
         ``max_postings`` bound this replica was admitted under — the caller
         falls back to the Spark path instead of growing the driver unbounded.
         """
-        ups = [(int(d), v) for d, v in upserts]
+        # compact duplicate doc_ids last-wins BEFORE computing postings:
+        # appending both occurrences while the values map keeps only the
+        # last would orphan the earlier value's grams forever (a later
+        # delete re-tokenizes only the surviving value)
+        ups = list({int(d): v for d, v in upserts}.items())
         up_ids = {d for d, _ in ups}
         removed = up_ids | {int(d) for d in deleted_ids}
 
@@ -210,6 +217,12 @@ class HotReplica:
         for d, v in ups:
             values[d] = v
         return HotReplica(postings, values, self.config, n, max_postings=self.max_postings)
+
+    def values_copy(self) -> dict:
+        """Fresh ``{doc_id: value}`` of this snapshot's dictionary — the
+        post-patch source of truth the service's warm value map derives
+        from (one maintenance implementation, not two)."""
+        return dict(self._values)
 
     # -- the scan-count core (shared by suggest and autocomplete) ------------
 

@@ -315,6 +315,82 @@ def test_replica_patched_respects_admitted_bound(spark):
     assert shrunk.n_postings < n and shrunk.max_postings == n + 3
 
 
+def test_replica_patched_compacts_duplicate_doc_ids(spark):
+    """A doc_id repeated within one batch is compacted last-wins: no
+    orphaned postings from the earlier value (a later delete must remove
+    EVERYTHING the doc ever indexed)."""
+    base = spark.createDataFrame(
+        list(enumerate(MULTISET_VALS)), "doc_id long, value string"
+    )
+    parent = HotReplica.from_frames(
+        build_ngram_index(base, config=DEFAULT_CONFIG), base, DEFAULT_CONFIG
+    )
+    dup = parent.patched([(9, "gazel business"), (9, "uaz hunter")], [])
+    single = parent.patched([(9, "uaz hunter")], [])
+    assert got_equal_internals(dup, single)
+    # the earlier value's grams never match anything after a delete
+    gone = dup.patched([], [9])
+    assert got_equal_internals(gone, parent)
+
+
+def test_service_upsert_null_delete_id_keeps_hot_state(spark, tmp_path):
+    """A null row in deleted_ids (a no-op for the left_anti join) must not
+    crash the post-mutation patch: the swap happens and serving stays hot."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_disc_index("cars", d, str(tmp_path / "idx"))
+    svc.warm("cars", metrics=[JACCARD])
+    svc.enable_hot_replica("cars")
+    new = spark.createDataFrame([(9, "gazel next")], "doc_id long, value string")
+    dels = spark.createDataFrame([(None,), (3,)], "doc_id long")
+    svc.upsert_disc_index("cars", new, deleted_ids=dels)
+    e = svc._entries["cars"]
+    assert e.replica is not None and e.value_map is not None
+    assert e.value_map[9] == "gazel next" and 3 not in e.value_map
+    got = svc.suggest("cars", "gazel next", JACCARD, 0.5, 2)
+    assert got and got[0][1] == "gazel next"
+
+
+def test_service_upsert_duplicate_ids_drop_hot_state(spark, tmp_path):
+    """A batch repeating a doc_id is out-of-contract (the on-disk union
+    keeps BOTH rows; a driver map can hold one value per doc): the patch
+    declines and the Spark path serves the on-disk truth."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_disc_index("cars", d, str(tmp_path / "idx"))
+    svc.enable_hot_replica("cars")
+    new = spark.createDataFrame(
+        [(9, "gazel next"), (9, "gazel business")], "doc_id long, value string"
+    )
+    svc.upsert_disc_index("cars", new)
+    assert svc._entries["cars"].replica is None  # declined, not diverged
+
+
+def test_service_upsert_honors_warm_value_map_bound(spark, tmp_path):
+    """The value map patched across an upsert obeys the bound warm()
+    admitted it under — a caller-capped map is dropped when the dictionary
+    grows past the caller's cap, not the module default."""
+    from suggest_spark.functions.metrics import JACCARD
+
+    svc = SuggestService(spark)
+    d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
+    svc.add_disc_index("cars", d, str(tmp_path / "idx"))
+    svc.warm("cars", metrics=[JACCARD], value_map_max_rows=len(MULTISET_VALS) + 1)
+    assert svc._entries["cars"].value_map is not None
+    grow = spark.createDataFrame(
+        [(30, "gazel next"), (31, "uaz hunter")], "doc_id long, value string"
+    )
+    svc.upsert_disc_index("cars", grow)
+    e = svc._entries["cars"]
+    assert e.value_map is None  # over the caller's admitted bound: dropped
+    got = svc.suggest("cars", "uaz hunter", JACCARD, 0.5, 2)
+    assert got and got[0][1] == "uaz hunter"
+
+
 def test_replica_patched_random_sweep(spark):
     """Seeded randomized sweep: arbitrary chains of replace/add/delete
     deltas (unicode values, overlapping upsert+delete, empty strings) must
