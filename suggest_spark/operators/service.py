@@ -59,9 +59,10 @@ def _collect_hot_delta(
     never crash AFTER the disk mutation: a null id in ``deleted_ids`` is
     dropped (a null key never matches the left_anti join — it was always a
     no-op).  A null or DUPLICATE ``doc_id`` in ``new_docs`` DECLINES the
-    patch: both are out-of-contract rows the on-disk union would store
-    verbatim (two dictionary rows for one doc) while a driver map can hold
-    only one value per doc — the drop-and-rewarm path is always correct."""
+    patch — defense in depth: ``upsert_disc_index`` validates and raises on
+    such batches before any mutation, but this helper enforces its own
+    contract for any other caller (a driver map can hold only one value per
+    doc, so an out-of-contract batch is unrepresentable here)."""
     pdf = new_docs.select("doc_id", "value").limit(max_rows + 1).toPandas()
     if (
         len(pdf) > max_rows
@@ -74,13 +75,17 @@ def _collect_hot_delta(
     if deleted_ids is not None:
         col = deleted_ids.columns[0]
         dpdf = (
+            # filter nulls SPARK-side: a null row reaching toPandas coerces
+            # the whole column to float64, silently rounding ids > 2^53 —
+            # the patch would then delete a NEIGHBORING doc on the hot tier
             deleted_ids.select(F.col(col).alias("doc_id"))
+            .where(F.col("doc_id").isNotNull())
             .limit(max_rows + 1)
             .toPandas()
         )
         if len(dpdf) > max_rows:
             return None
-        dels = [int(d) for d in dpdf["doc_id"].dropna()]
+        dels = [int(d) for d in dpdf["doc_id"]]
     return ups, dels
 
 
@@ -344,6 +349,24 @@ class SuggestService:
             e = self._get(name)
             if e.path is None:
                 raise ValueError(f"{name!r} is a RAM entry; use add_ram_index to rebuild")
+            # enforce the mutation contract BEFORE anything durable changes:
+            # "a doc_id already present is replaced" is only meaningful for
+            # unique, non-null ids — a duplicate would be indexed twice (the
+            # dictionary union keeps both rows; multiset overlap doubles)
+            # and a null id poisons every driver-side consumer.  One small
+            # agg job on the delta frame, raised loudly, beats silently
+            # persisting a corrupt dictionary.
+            chk = new_docs.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count("doc_id").alias("nonnull"),
+                F.countDistinct("doc_id").alias("distinct"),
+            ).first()
+            if chk["nonnull"] != chk["rows"] or chk["distinct"] != chk["nonnull"]:
+                raise ValueError(
+                    f"new_docs must have unique non-null doc_ids: got "
+                    f"{chk['rows']} rows, {chk['nonnull']} non-null, "
+                    f"{chk['distinct']} distinct"
+                )
             # bounded delta collect for hot-state patching — BEFORE any
             # mutation (a failure here leaves the entry untouched, and the
             # collected rows are exactly the frames the upsert below applies)
@@ -441,9 +464,9 @@ class SuggestService:
                             vm = hot["replica"].values_copy()
                         else:
                             vm = dict(e.value_map)
-                            for d in set(dels) | {d for d, _ in ups}:
+                            for d in dels:
                                 vm.pop(d, None)
-                            vm.update(dict(ups))  # last occurrence wins
+                            vm.update(ups)  # ids are unique (validated above)
                         bound = e.value_map_max_rows or DEFAULT_VALUE_MAP_MAX_ROWS
                         if len(vm) <= bound:
                             hot["value_map"] = vm

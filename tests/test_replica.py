@@ -353,21 +353,29 @@ def test_service_upsert_null_delete_id_keeps_hot_state(spark, tmp_path):
     assert got and got[0][1] == "gazel next"
 
 
-def test_service_upsert_duplicate_ids_drop_hot_state(spark, tmp_path):
-    """A batch repeating a doc_id is out-of-contract (the on-disk union
-    keeps BOTH rows; a driver map can hold one value per doc): the patch
-    declines and the Spark path serves the on-disk truth."""
+def test_service_upsert_rejects_duplicate_and_null_ids(spark, tmp_path):
+    """A batch repeating a doc_id (or carrying a null one) is out-of-contract
+    — the dictionary union would store both rows and the index would double
+    the doc's grams.  The upsert raises BEFORE anything durable changes, and
+    serving (including the still-valid hot replica) is untouched."""
     from suggest_spark.functions.metrics import JACCARD
 
     svc = SuggestService(spark)
     d = spark.createDataFrame(list(enumerate(MULTISET_VALS)), "doc_id long, value string")
     svc.add_disc_index("cars", d, str(tmp_path / "idx"))
     svc.enable_hot_replica("cars")
-    new = spark.createDataFrame(
+    golden = svc.suggest("cars", "kamaz kal", JACCARD, 0.3, 4)
+    dup = spark.createDataFrame(
         [(9, "gazel next"), (9, "gazel business")], "doc_id long, value string"
     )
-    svc.upsert_disc_index("cars", new)
-    assert svc._entries["cars"].replica is None  # declined, not diverged
+    with pytest.raises(ValueError, match="unique non-null"):
+        svc.upsert_disc_index("cars", dup)
+    nul = spark.createDataFrame([(None, "ghost")], "doc_id long, value string")
+    with pytest.raises(ValueError, match="unique non-null"):
+        svc.upsert_disc_index("cars", nul)
+    # nothing mutated: the replica still serves the (unchanged) truth
+    assert svc._entries["cars"].replica is not None
+    assert svc.suggest("cars", "kamaz kal", JACCARD, 0.3, 4) == golden
 
 
 def test_service_upsert_honors_warm_value_map_bound(spark, tmp_path):

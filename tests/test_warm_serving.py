@@ -74,6 +74,11 @@ def test_warm_path_beats_cold_and_replica_beats_both():
         # neighbor-noise band (BASELINE.md): one re-measure distinguishes a
         # genuine margin regression (fails twice) from an unlucky window
         # (observed once: warm p50 == cold under transient load) — the same
-        # best-of-N discipline the bench protocol itself uses
+        # best-of-N discipline the bench protocol itself uses.  The generous
+        # absolute replica bound (50-100x headroom over measured p50) must
+        # hold in BOTH runs: it is not a jitter-mode margin, and letting the
+        # retry cover it would halve the fail rate of a genuine 100x
+        # replica regression that hovers at the threshold.
+        assert out["replica_p50_sec"] < 0.25, out
         retry = _run_probe()
         assert _margins_hold(retry), (out, retry)
