@@ -215,6 +215,12 @@ def pool(pattern: str = "SCALING_r5*.json", out_dir: str | None = None) -> dict:
     for path in files:
         with open(path) as f:
             d = json.load(f)
+        if lo is not None and [lo, hi] != [d["levels"][0], d["levels"][-1]]:
+            raise SystemExit(
+                f"--pool refuses to mix parallelism levels: {path} ran "
+                f"{d['levels']} but earlier samples ran [{lo}, {hi}] — "
+                "narrow the pattern to one protocol"
+            )
         lo, hi = d["levels"][0], d["levels"][-1]
         t_lo.append(d["runs"][str(lo)]["t_total"])
         t_hi.append(d["runs"][str(hi)]["t_total"])

@@ -56,6 +56,17 @@ def test_pool_estimators_hand_computed(tmp_path, capsys):
     assert rep["t2_rel_sd_pct"] > 0 and rep["t8_rel_sd_pct"] > 0
 
 
+def test_pool_refuses_mixed_levels(tmp_path, capsys):
+    _write_sample(tmp_path, "SCALING_m_a.json", 520.0, 160.0)
+    with open(os.path.join(tmp_path, "SCALING_m_b.json"), "w") as f:
+        json.dump({"levels": [8, 32],
+                   "runs": {"8": {"t_total": 160.0},
+                            "32": {"t_total": 80.0}},
+                   "efficiency_8_to_32": 0.5}, f)
+    with pytest.raises(SystemExit, match="mix parallelism levels"):
+        pool("SCALING_m_*.json", out_dir=str(tmp_path))
+
+
 def test_pool_requires_two_samples(tmp_path):
     _write_sample(tmp_path, "SCALING_only.json", 500.0, 150.0)
     with pytest.raises(SystemExit):
