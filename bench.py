@@ -489,6 +489,26 @@ def main() -> None:
             # block", never abort the whole bench run
             extra["suggest_plan_calibration"] = {"unreadable": repr(e)}
 
+    # leg-pooled scaling estimators over the published SCALING_r5* samples
+    # (bench_scaling.pool; BASELINE.md "Leg-pooled robustness estimate") —
+    # folded into detail so the scaling conclusion travels with the bench
+    # record instead of living only in prose
+    try:
+        from bench_scaling import pool as _scaling_pool
+
+        sp = _scaling_pool(verbose=False)
+        extra["scaling_pooled"] = {
+            k: sp[k]
+            for k in (
+                "samples", "levels", "per_sample_eff",
+                "pooled_best_legs_eff", "pooled_median_legs_eff",
+                "per_sample_median_eff",
+            )
+        }
+    except BaseException as e:  # SystemExit (too few samples) included:
+        # missing/partial scaling artifacts must never abort the bench run
+        extra["scaling_pooled"] = {"unreadable": repr(e)}
+
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: suggest_words joined the headline in
     # round 3, so this subtotal restates the total over the round-2 segment

@@ -190,7 +190,8 @@ def orchestrate() -> None:
     print(json.dumps(report, indent=1))
 
 
-def pool(pattern: str = "SCALING_r5*.json", out_dir: str | None = None) -> dict:
+def pool(pattern: str = "SCALING_r5*.json", out_dir: str | None = None,
+         verbose: bool = True) -> dict:
     """Leg-pooled efficiency estimators over a set of published samples.
 
     The per-sample ratio (t_lo / t_hi) / (hi/lo) divides two numbers whose
@@ -244,7 +245,8 @@ def pool(pattern: str = "SCALING_r5*.json", out_dir: str | None = None) -> dict:
         "per_sample_median_eff": round(st.median(effs), 3),
         "per_sample_mean_eff": round(st.mean(effs), 3),
     }
-    print(json.dumps(report, indent=1))
+    if verbose:
+        print(json.dumps(report, indent=1))
     return report
 
 
