@@ -503,6 +503,73 @@ def upsert_versioned_bucketed_table(
     return {"version": version, "buckets_touched": sorted(touched), "migrated": False}
 
 
+def rebucket_versioned_bucketed_table(
+    spark: SparkSession, base: str, new_n_buckets: int
+) -> dict:
+    """Online re-layout of a bucketed table whose corpus outgrew its
+    creation-time ``n_buckets`` — the table analog of the streaming
+    registry's ``migrate_registry_online`` (streaming/dedup.py), closing the
+    same lifecycle gap: every other mutator deliberately REUSES the pinned
+    bucket count (two writers must never bucket one table two ways), so
+    without this a table created at 64 buckets trickle-upserts into
+    ever-fatter buckets forever.
+
+    The versioned layout makes the migration a one-commit swap, with none of
+    the registry's wedge state: the current snapshot is read through its own
+    manifest, rewritten in full under a fresh immutable ``v=N`` with the new
+    bucket count, and a manifest pinning ``new_n_buckets`` is committed
+    atomically (sources/fsutil.py).  Readers holding the old manifest keep
+    reading the old version's immutable dirs (gc grace applies); readers
+    opening after the commit see only the new layout.  Mutators follow the
+    repo's single-maintenance-writer discipline (operators/service.py runs
+    all maintenance on one worker thread); even a racing upsert cannot mix
+    layouts — each manifest pins its OWN ``n_buckets`` and full
+    bucket→version map, so the loser's commit is a superseded but
+    self-consistent snapshot, never a hybrid.
+
+    Cost is one full-table rewrite — paid once per growth step, against
+    trickle upserts that each rewrite ``O(table / n_buckets)`` rows; at the
+    100 TB tier re-bucket when median bucket size crosses the comfortable
+    task-input size (e.g. 64 → 4096 as the corpus grows 64×).
+    """
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    current = read_manifest(spark, base)
+    if "n_buckets" not in current:
+        raise ValueError(
+            f"{base} is not a bucketed table; migrate the unpartitioned "
+            "layout through upsert_versioned_bucketed_table or rebuild with "
+            "write_versioned_bucketed_table first"
+        )
+    if current["n_buckets"] == new_n_buckets:
+        return {
+            "version": current["version"],
+            "n_buckets": new_n_buckets,
+            "rebucketed": False,
+        }
+    key_col = current.get("key", "doc_id")
+    snapshot = read_versioned_bucketed_table(spark, base, current)
+    version = _next_version(spark, base, floor=current["version"])
+    data_dir = _data_dir(base, version)
+    (
+        snapshot.withColumn("bucket", _bucket_col(key_col, new_n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    _commit(
+        spark,
+        base,
+        {
+            "version": version,
+            "partitions": {str(b): version for b in _buckets_written(spark, data_dir)},
+            "n_buckets": new_n_buckets,
+            "key": key_col,
+        },
+    )
+    return {"version": version, "n_buckets": new_n_buckets, "rebucketed": True}
+
+
 def gc_versions(
     spark: SparkSession,
     base: str,

@@ -9,6 +9,7 @@ from suggest_spark.operators.versioned import (
     read_manifest,
     read_versioned_bucketed_table,
     read_versioned_table,
+    rebucket_versioned_bucketed_table,
     upsert_versioned_bucketed_table,
     write_versioned_bucketed_table,
     write_versioned_table,
@@ -176,6 +177,74 @@ def test_bucketed_read_empty_raises(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         read_versioned_bucketed_table(spark, base)
+
+
+def test_rebucket_online_relayout(spark, tmp_path):
+    """A table whose corpus outgrew its creation-time bucket count re-layouts
+    in one commit: values identical, old snapshot still readable under its
+    own manifest (grace period), and every LATER mutator inherits the new
+    pinned count — including rebuilds, which otherwise keep the pinned one."""
+    base = str(tmp_path / "tbl")
+    write_versioned_bucketed_table(
+        spark.createDataFrame(ROWS, SCHEMA), base, n_buckets=2
+    )
+    upsert_versioned_bucketed_table(
+        spark, base, spark.createDataFrame([(3, "replaced 3")], SCHEMA)
+    )
+
+    stats = rebucket_versioned_bucketed_table(spark, base, 16)
+    assert stats["rebucketed"] and stats["n_buckets"] == 16
+    m = read_manifest(spark, base)
+    assert m["n_buckets"] == 16 and m["version"] == stats["version"]
+    # every bucket in the new manifest is owned by the rebucket version —
+    # a hybrid old/new-layout manifest would double- or mis-read keys
+    assert set(m["partitions"].values()) == {stats["version"]}
+    assert len(m["partitions"]) > 2  # genuinely spread beyond the old count
+    expect = sorted(
+        [(i, f"value {i}") for i in range(40) if i != 3] + [(3, "replaced 3")]
+    )
+    assert _vals(read_versioned_table(spark, base)) == expect
+    # pre-rebucket snapshot still fully readable through ITS manifest
+    old = read_versioned_bucketed_table(spark, base, read_manifest(spark, base, 2))
+    assert _vals(old) == expect
+
+    # later mutators bucket at the NEW count: an upsert touches exactly the
+    # changed key's bucket within the 16-way layout...
+    up = upsert_versioned_bucketed_table(
+        spark, base, spark.createDataFrame([(200, "new 200")], SCHEMA)
+    )
+    assert len(up["buckets_touched"]) == 1 and not up["migrated"]
+    assert _vals(read_versioned_table(spark, base)) == sorted(expect + [(200, "new 200")])
+    # ...and a rebuild keeps the rebucketed count, not its own ask
+    m2 = write_versioned_bucketed_table(
+        spark.createDataFrame(ROWS, SCHEMA), base, n_buckets=4
+    )
+    assert m2["n_buckets"] == 16
+
+
+def test_rebucket_noop_key_preservation_and_errors(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "term long, value string")
+    write_versioned_bucketed_table(df, base, key_col="term", n_buckets=4)
+
+    same = rebucket_versioned_bucketed_table(spark, base, 4)
+    assert not same["rebucketed"] and same["version"] == 1  # no new commit
+
+    stats = rebucket_versioned_bucketed_table(spark, base, 8)
+    m = read_manifest(spark, base)
+    assert stats["rebucketed"] and m["key"] == "term"  # key pinned across
+    # the preserved key still gates mutators after the re-layout
+    with pytest.raises(ValueError, match="bucketed on key 'term'"):
+        upsert_versioned_bucketed_table(
+            spark, base, spark.createDataFrame([(1, "A")], "term long, value string")
+        )
+
+    with pytest.raises(ValueError, match="new_n_buckets"):
+        rebucket_versioned_bucketed_table(spark, base, 0)
+    flat = str(tmp_path / "flat")
+    write_versioned_table(spark.createDataFrame([(0, "a")], SCHEMA), flat)
+    with pytest.raises(ValueError, match="not a bucketed table"):
+        rebucket_versioned_bucketed_table(spark, flat, 8)
 
 
 def test_bucketed_key_mismatch_raises(spark, tmp_path):
