@@ -495,6 +495,68 @@ class SuggestService:
                 gc_versions(self.spark, e.path, min_age_sec=self.gc_min_age_sec)
             return stats
 
+    def rebucket_dictionary(self, name: str, new_n_buckets: int) -> dict:
+        """Re-layout ``name``'s persisted dictionary sibling at a new bucket
+        count (:func:`~suggest_spark.operators.versioned.
+        rebucket_versioned_bucketed_table`) — the maintenance step for a
+        dictionary whose corpus outgrew its creation-time ``n_buckets``, so
+        trickle upserts stop rewriting ever-fatter buckets.  One full
+        rewrite now buys O(touched buckets) upserts at the right granularity
+        from then on.
+
+        Runs under the same single-maintenance-writer lock as upserts.  The
+        re-layout changes no values, so the index, planner stats and serving
+        hot state (value_map / replica) all stay valid and are carried
+        through; only the served dictionary frame is re-read and re-cached
+        so its plan points at the NEW layout's immutable dirs before
+        grace-period GC reclaims the old ones (a cache eviction after GC
+        would otherwise recompute from deleted paths).  Entries that have
+        never been upserted have no bucketed sibling yet — that raises
+        (FileNotFoundError / ValueError) rather than inventing one; the
+        first upsert seeds the sibling at the count it needs."""
+        from .versioned import (
+            gc_versions,
+            read_versioned_table,
+            rebucket_versioned_bucketed_table,
+        )
+
+        with self._mutate:
+            e = self._get(name)
+            if e.path is None:
+                raise ValueError(
+                    f"{name!r} is a RAM entry; it has no persisted dictionary"
+                )
+            dict_path = e.dict_path or f"{e.path}_dictionary"
+            stats = rebucket_versioned_bucketed_table(
+                self.spark, dict_path, new_n_buckets
+            )
+            if not stats["rebucketed"]:
+                return stats
+            dictionary = read_versioned_table(self.spark, dict_path).cache()
+            dictionary.count()
+            hot: dict = {}
+            if e.replica is not None:
+                hot["replica"] = e.replica
+            if e.value_map is not None:
+                hot["value_map"] = e.value_map
+                hot["value_map_max_rows"] = e.value_map_max_rows
+            self._swap(
+                name,
+                _Entry(
+                    dictionary,
+                    e.index,
+                    e.config,
+                    e.path,
+                    owns_dict=True,
+                    stats=e.stats,  # index unchanged: planner stats stay fresh
+                    stats_path=e.stats_path,
+                    dict_path=dict_path,
+                    **hot,
+                ),
+            )
+            gc_versions(self.spark, dict_path, min_age_sec=self.gc_min_age_sec)
+            return stats
+
     def _load_stats(self, stats_path: str):
         """(IndexStats, path) when persisted planner stats exist at
         ``stats_path``; (None, path) otherwise — never raises on absence or

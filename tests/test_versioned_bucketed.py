@@ -164,6 +164,55 @@ def test_service_dictionary_upsert_is_bucket_granular(spark, tmp_path):
     assert [v for _, v in got] == ["Mazda Demio"]
 
 
+def test_service_rebucket_dictionary_keeps_serving(spark, tmp_path):
+    """Service-level re-layout: a dictionary sibling that outgrew its bucket
+    count migrates in one maintenance call — serving answers and hot state
+    (value_map) survive unchanged, and later upserts are bucket-granular at
+    the NEW count."""
+    from suggest_spark.functions.metrics import JACCARD
+    from suggest_spark.operators.service import SuggestService
+
+    base = str(tmp_path / "svc_idx")
+    svc = SuggestService(spark)
+    dictionary = spark.createDataFrame(
+        [(i, f"Nissan model {i}") for i in range(30)], SCHEMA
+    )
+    svc.add_disc_index("cars", dictionary, base)
+    svc.upsert_disc_index(
+        "cars", spark.createDataFrame([(100, "Mazda Demio")], SCHEMA)
+    )
+    svc.warm("cars", metrics=[JACCARD])
+    vm_before = svc._get("cars").value_map
+    assert vm_before is not None and vm_before[100] == "Mazda Demio"
+
+    sib = f"{base}_dictionary"
+    old_count = read_manifest(spark, sib)["n_buckets"]
+    stats = svc.rebucket_dictionary("cars", 32)
+    assert stats["rebucketed"] and old_count != 32
+    assert read_manifest(spark, sib)["n_buckets"] == 32
+    # hot state carried through by identity — no re-warm needed
+    assert svc._get("cars").value_map is vm_before
+    got = svc.suggest("cars", "Mazda Demio", JACCARD, 0.5, 5)
+    assert [v for _, v in got] == ["Mazda Demio"]
+
+    # same-count call is a no-op (no new version committed)
+    again = svc.rebucket_dictionary("cars", 32)
+    assert not again["rebucketed"]
+    # a later upsert buckets at the new count: exactly one of 32 touched
+    m_pre = read_manifest(spark, sib)
+    svc.upsert_disc_index(
+        "cars", spark.createDataFrame([(101, "Suzuki Swift")], SCHEMA)
+    )
+    m_post = read_manifest(spark, sib)
+    bumped = [
+        b for b, v in m_post["partitions"].items() if m_pre["partitions"].get(b) != v
+    ]
+    assert len(bumped) == 1
+    assert [v for _, v in svc.suggest("cars", "Suzuki Swift", JACCARD, 0.5, 5)] == [
+        "Suzuki Swift"
+    ]
+
+
 def test_bucketed_read_empty_raises(spark, tmp_path):
     base = str(tmp_path / "tbl")
     write_versioned_bucketed_table(
