@@ -534,12 +534,6 @@ class SuggestService:
                 return stats
             dictionary = read_versioned_table(self.spark, dict_path).cache()
             dictionary.count()
-            hot: dict = {}
-            if e.replica is not None:
-                hot["replica"] = e.replica
-            if e.value_map is not None:
-                hot["value_map"] = e.value_map
-                hot["value_map_max_rows"] = e.value_map_max_rows
             self._swap(
                 name,
                 _Entry(
@@ -551,7 +545,10 @@ class SuggestService:
                     stats=e.stats,  # index unchanged: planner stats stay fresh
                     stats_path=e.stats_path,
                     dict_path=dict_path,
-                    **hot,
+                    # re-layout changes no values: hot state carries by identity
+                    replica=e.replica,
+                    value_map=e.value_map,
+                    value_map_max_rows=e.value_map_max_rows,
                 ),
             )
             gc_versions(self.spark, dict_path, min_age_sec=self.gc_min_age_sec)

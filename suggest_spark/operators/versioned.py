@@ -360,6 +360,24 @@ def _buckets_written(spark: SparkSession, data_dir: str) -> list[int]:
     )
 
 
+def _write_bucketed_data(
+    df: DataFrame, base: str, version: int, key_col: str, n_buckets: int
+) -> dict:
+    """Write ``df`` (data columns only) bucketed on ``key_col`` under the
+    immutable ``v=version`` dir; return the ``{bucket: version}`` ownership
+    fragment for exactly the buckets that received rows.  The single write
+    path for full builds, upserts and re-layouts — the bucket derivation and
+    write options can never diverge between them."""
+    data_dir = _data_dir(base, version)
+    (
+        df.withColumn("bucket", _bucket_col(key_col, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    return {str(b): version for b in _buckets_written(df.sparkSession, data_dir)}
+
+
 def write_versioned_bucketed_table(
     df: DataFrame,
     base: str,
@@ -379,16 +397,9 @@ def write_versioned_bucketed_table(
     n_buckets = existing.get("n_buckets", n_buckets)
     _check_bucket_key(existing, key_col, base)
     version = _next_version(spark, base)
-    data_dir = _data_dir(base, version)
-    (
-        df.withColumn("bucket", _bucket_col(key_col, n_buckets))
-        .write.mode("errorifexists")
-        .partitionBy("bucket")
-        .parquet(data_dir)
-    )
     manifest = {
         "version": version,
-        "partitions": {str(b): version for b in _buckets_written(spark, data_dir)},
+        "partitions": _write_bucketed_data(df, base, version, key_col, n_buckets),
         "n_buckets": n_buckets,
         "key": key_col,
     }
@@ -472,24 +483,20 @@ def upsert_versioned_bucketed_table(
         return {"version": current["version"], "buckets_touched": [], "migrated": False}
     held = {b: v for b, v in current["partitions"].items() if int(b) in touched}
     kept_dirs = [f"{_data_dir(base, v)}/bucket={b}" for b, v in sorted(held.items())]
-    fresh = new_rows.withColumn("bucket", _bucket_col(key_col, n_buckets))
     if kept_dirs:
         kept = (
             spark.read.option("basePath", base)
             .parquet(*kept_dirs)
-            .drop("v")
+            .drop("v", "bucket")  # bucket is recomputed from the key on write
             .join(drop_keys, key_col, "left_anti")
         )
-        merged = kept.select(fresh.columns).unionByName(fresh)
+        merged = kept.select(new_rows.columns).unionByName(new_rows)
     else:
-        merged = fresh
-    data_dir = _data_dir(base, version)
-    merged.write.mode("errorifexists").partitionBy("bucket").parquet(data_dir)
-    surviving = set(_buckets_written(spark, data_dir))
+        merged = new_rows
     partitions = {
         b: v for b, v in current["partitions"].items() if int(b) not in touched
     }
-    partitions.update({str(b): version for b in surviving})
+    partitions.update(_write_bucketed_data(merged, base, version, key_col, n_buckets))
     _commit(
         spark,
         base,
@@ -504,7 +511,7 @@ def upsert_versioned_bucketed_table(
 
 
 def rebucket_versioned_bucketed_table(
-    spark: SparkSession, base: str, new_n_buckets: int
+    spark: SparkSession, base: str, new_n_buckets: int, key_col: str | None = None
 ) -> dict:
     """Online re-layout of a bucketed table whose corpus outgrew its
     creation-time ``n_buckets`` — the table analog of the streaming
@@ -547,22 +554,35 @@ def rebucket_versioned_bucketed_table(
             "n_buckets": new_n_buckets,
             "rebucketed": False,
         }
-    key_col = current.get("key", "doc_id")
-    snapshot = read_versioned_bucketed_table(spark, base, current)
+    stored_key = current.get("key")
+    if key_col is not None:
+        _check_bucket_key(current, key_col, base)
+    elif stored_key is None:
+        # a manifest from before key pinning: every other mutator takes the
+        # caller's explicit key; guessing here would silently RE-KEY the
+        # table (and pin the guess) whenever the guess is wrong.
+        raise ValueError(
+            f"{base}'s manifest does not pin a bucketing key (pre-key-pinning "
+            "layout); pass key_col explicitly to rebucket it"
+        )
+    key_col = stored_key if stored_key is not None else key_col
     version = _next_version(spark, base, floor=current["version"])
-    data_dir = _data_dir(base, version)
-    (
-        snapshot.withColumn("bucket", _bucket_col(key_col, new_n_buckets))
-        .write.mode("errorifexists")
-        .partitionBy("bucket")
-        .parquet(data_dir)
-    )
+    if current["partitions"]:
+        snapshot = read_versioned_bucketed_table(spark, base, current)
+        partitions = _write_bucketed_data(
+            snapshot, base, version, key_col, new_n_buckets
+        )
+    else:
+        # an emptied table (delete-all upsert) has nothing to rewrite, but the
+        # pinned count must still change or the next bulk reload re-seeds the
+        # stale layout.
+        partitions = {}
     _commit(
         spark,
         base,
         {
             "version": version,
-            "partitions": {str(b): version for b in _buckets_written(spark, data_dir)},
+            "partitions": partitions,
             "n_buckets": new_n_buckets,
             "key": key_col,
         },

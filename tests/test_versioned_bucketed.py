@@ -316,3 +316,63 @@ def test_bucketed_key_mismatch_raises(spark, tmp_path):
         for r in read_versioned_bucketed_table(spark, base).collect()
     )
     assert got == [(1, "A"), (2, "b")]
+
+
+def test_rebucket_keyless_manifest_requires_explicit_key(spark, tmp_path):
+    """A pre-key-pinning manifest (no 'key' field) must not be re-bucketed on
+    a GUESSED key — a wrong guess would silently re-key the table and pin the
+    guess.  Rebucket raises without an explicit key_col, and re-pins the
+    caller's key when given one (like every other mutator on such layouts)."""
+    import json
+    import pathlib
+
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "term long, value string"
+    )
+    write_versioned_bucketed_table(df, base, key_col="term", n_buckets=2)
+    mp = pathlib.Path(base) / "_manifests" / "v00000001.json"
+    m = json.loads(mp.read_text())
+    del m["key"]  # simulate the pre-key-pinning era
+    mp.write_text(json.dumps(m, sort_keys=True))
+
+    with pytest.raises(ValueError, match="pass key_col explicitly"):
+        rebucket_versioned_bucketed_table(spark, base, 8)
+    stats = rebucket_versioned_bucketed_table(spark, base, 8, key_col="term")
+    assert stats["rebucketed"]
+    m2 = read_manifest(spark, base)
+    assert m2["key"] == "term" and m2["n_buckets"] == 8
+    got = sorted(
+        (r["term"], r["value"])
+        for r in read_versioned_bucketed_table(spark, base).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # once pinned, a mismatching explicit key_col is rejected up front
+    with pytest.raises(ValueError, match="bucketed on key 'term'"):
+        rebucket_versioned_bucketed_table(spark, base, 16, key_col="doc_id")
+
+
+def test_rebucket_emptied_table_commits_new_count(spark, tmp_path):
+    """An emptied table (delete-all upsert leaves partitions={} with the old
+    count pinned) must still be re-bucketable — operators pre-size before a
+    bulk reload — and the re-layout is a pure manifest commit (no data)."""
+    base = str(tmp_path / "tbl")
+    write_versioned_bucketed_table(
+        spark.createDataFrame(ROWS[:4], SCHEMA), base, n_buckets=2
+    )
+    upsert_versioned_bucketed_table(
+        spark,
+        base,
+        spark.createDataFrame([], SCHEMA),
+        deleted_keys=spark.createDataFrame([(i,) for i in range(4)], "doc_id long"),
+    )
+    assert read_manifest(spark, base)["partitions"] == {}
+
+    stats = rebucket_versioned_bucketed_table(spark, base, 16)
+    assert stats["rebucketed"] and stats["n_buckets"] == 16
+    m = read_manifest(spark, base)
+    assert m["partitions"] == {} and m["n_buckets"] == 16 and m["key"] == "doc_id"
+    # the next bulk load seeds at the NEW count, spread beyond the old one
+    upsert_versioned_bucketed_table(spark, base, spark.createDataFrame(ROWS, SCHEMA))
+    assert _vals(read_versioned_table(spark, base)) == sorted(ROWS)
+    assert len(read_manifest(spark, base)["partitions"]) > 2
