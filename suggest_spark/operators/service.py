@@ -516,6 +516,7 @@ class SuggestService:
         first upsert seeds the sibling at the count it needs."""
         from .versioned import (
             gc_versions,
+            read_manifest,
             read_versioned_table,
             rebucket_versioned_bucketed_table,
         )
@@ -527,8 +528,21 @@ class SuggestService:
                     f"{name!r} is a RAM entry; it has no persisted dictionary"
                 )
             dict_path = e.dict_path or f"{e.path}_dictionary"
+            current = read_manifest(self.spark, dict_path)
+            if "n_buckets" in current and not current["partitions"]:
+                # a served dictionary is never empty under the service
+                # contract; refusing BEFORE the commit beats crashing on the
+                # re-read below with the new layout already half-applied.
+                raise ValueError(
+                    f"{name!r}'s dictionary sibling at {dict_path} is empty; "
+                    "reload it before re-bucketing"
+                )
+            # service-created siblings are always doc_id-keyed (every
+            # upsert_disc_index call uses the default key); explicit here so
+            # pre-key-pinning siblings stay rebucketable through this API,
+            # while a manifest pinning anything else still raises.
             stats = rebucket_versioned_bucketed_table(
-                self.spark, dict_path, new_n_buckets
+                self.spark, dict_path, new_n_buckets, key_col="doc_id"
             )
             if not stats["rebucketed"]:
                 return stats

@@ -548,16 +548,13 @@ def rebucket_versioned_bucketed_table(
             "layout through upsert_versioned_bucketed_table or rebuild with "
             "write_versioned_bucketed_table first"
         )
-    if current["n_buckets"] == new_n_buckets:
-        return {
-            "version": current["version"],
-            "n_buckets": new_n_buckets,
-            "rebucketed": False,
-        }
     stored_key = current.get("key")
+    # key validation runs BEFORE the same-count no-op return: a wrong-key
+    # maintenance script must fail on its first run, not appear validated
+    # until the first call whose count actually differs.
     if key_col is not None:
         _check_bucket_key(current, key_col, base)
-    elif stored_key is None:
+    elif stored_key is None and current["partitions"]:
         # a manifest from before key pinning: every other mutator takes the
         # caller's explicit key; guessing here would silently RE-KEY the
         # table (and pin the guess) whenever the guess is wrong.
@@ -565,28 +562,34 @@ def rebucket_versioned_bucketed_table(
             f"{base}'s manifest does not pin a bucketing key (pre-key-pinning "
             "layout); pass key_col explicitly to rebucket it"
         )
-    key_col = stored_key if stored_key is not None else key_col
+    if current["n_buckets"] == new_n_buckets:
+        return {
+            "version": current["version"],
+            "n_buckets": new_n_buckets,
+            "rebucketed": False,
+        }
     version = _next_version(spark, base, floor=current["version"])
     if current["partitions"]:
+        key = stored_key if stored_key is not None else key_col
         snapshot = read_versioned_bucketed_table(spark, base, current)
-        partitions = _write_bucketed_data(
-            snapshot, base, version, key_col, new_n_buckets
-        )
+        partitions = _write_bucketed_data(snapshot, base, version, key, new_n_buckets)
     else:
-        # an emptied table (delete-all upsert) has nothing to rewrite, but the
-        # pinned count must still change or the next bulk reload re-seeds the
-        # stale layout.
+        # an emptied table (delete-all upsert) has nothing to rewrite, but
+        # the pinned count must still change or the next bulk reload
+        # re-seeds the stale layout.  With no data write to catch a typo, a
+        # caller-supplied key is UNVALIDATABLE here — preserve the stored
+        # key as-is (possibly unpinned) rather than pin an unchecked name
+        # that would wedge every later mutator.
+        key = stored_key
         partitions = {}
-    _commit(
-        spark,
-        base,
-        {
-            "version": version,
-            "partitions": partitions,
-            "n_buckets": new_n_buckets,
-            "key": key_col,
-        },
-    )
+    manifest = {
+        "version": version,
+        "partitions": partitions,
+        "n_buckets": new_n_buckets,
+    }
+    if key is not None:
+        manifest["key"] = key
+    _commit(spark, base, manifest)
     return {"version": version, "n_buckets": new_n_buckets, "rebucketed": True}
 
 

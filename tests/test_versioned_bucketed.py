@@ -287,6 +287,10 @@ def test_rebucket_noop_key_preservation_and_errors(spark, tmp_path):
         upsert_versioned_bucketed_table(
             spark, base, spark.createDataFrame([(1, "A")], "term long, value string")
         )
+    # key validation fires even on a same-count call — a wrong-key script
+    # must fail on its FIRST run, not pass as a no-op until the count differs
+    with pytest.raises(ValueError, match="bucketed on key 'term'"):
+        rebucket_versioned_bucketed_table(spark, base, 8, key_col="doc_id")
 
     with pytest.raises(ValueError, match="new_n_buckets"):
         rebucket_versioned_bucketed_table(spark, base, 0)
@@ -376,3 +380,61 @@ def test_rebucket_emptied_table_commits_new_count(spark, tmp_path):
     upsert_versioned_bucketed_table(spark, base, spark.createDataFrame(ROWS, SCHEMA))
     assert _vals(read_versioned_table(spark, base)) == sorted(ROWS)
     assert len(read_manifest(spark, base)["partitions"]) > 2
+
+
+def test_rebucket_empty_keyless_never_pins_unvalidated_key(spark, tmp_path):
+    """With no data write to catch a typo, the empty path must NOT pin a
+    caller-supplied key — a pinned typo would wedge every later mutator
+    behind the key-mismatch check with no way to correct it."""
+    import json
+    import pathlib
+
+    base = str(tmp_path / "tbl")
+    write_versioned_bucketed_table(
+        spark.createDataFrame([(0, "a")], SCHEMA), base, n_buckets=2
+    )
+    upsert_versioned_bucketed_table(
+        spark,
+        base,
+        spark.createDataFrame([], SCHEMA),
+        deleted_keys=spark.createDataFrame([(0,)], "doc_id long"),
+    )
+    mp = pathlib.Path(base) / "_manifests" / "v00000002.json"
+    m = json.loads(mp.read_text())
+    del m["key"]  # pre-key-pinning layout, now emptied
+    mp.write_text(json.dumps(m, sort_keys=True))
+
+    stats = rebucket_versioned_bucketed_table(spark, base, 16, key_col="doc_idd")
+    assert stats["rebucketed"]
+    m2 = read_manifest(spark, base)
+    assert m2["n_buckets"] == 16 and "key" not in m2  # typo NOT pinned
+    # the table is still usable: the next bulk load pins its real key
+    upsert_versioned_bucketed_table(
+        spark, base, spark.createDataFrame(ROWS[:4], SCHEMA)
+    )
+    assert read_manifest(spark, base)["key"] == "doc_id"
+    assert _vals(read_versioned_table(spark, base)) == sorted(ROWS[:4])
+
+
+def test_service_rebucket_refuses_empty_sibling(spark, tmp_path):
+    """An emptied dictionary sibling must be refused BEFORE any commit — not
+    crash on the post-commit re-read with the new layout half-applied."""
+    from suggest_spark.operators.service import SuggestService
+
+    base = str(tmp_path / "svc_idx")
+    svc = SuggestService(spark)
+    svc.add_disc_index(
+        "cars", spark.createDataFrame(ROWS[:8], SCHEMA), base
+    )
+    sib = f"{base}_dictionary"
+    write_versioned_bucketed_table(spark.createDataFrame(ROWS[:2], SCHEMA), sib)
+    upsert_versioned_bucketed_table(
+        spark,
+        sib,
+        spark.createDataFrame([], SCHEMA),
+        deleted_keys=spark.createDataFrame([(0,), (1,)], "doc_id long"),
+    )
+    before = read_manifest(spark, sib)
+    with pytest.raises(ValueError, match="is empty"):
+        svc.rebucket_dictionary("cars", 32)
+    assert read_manifest(spark, sib) == before  # nothing committed
