@@ -538,6 +538,13 @@ def rebucket_versioned_bucketed_table(
     trickle upserts that each rewrite ``O(table / n_buckets)`` rows; at the
     100 TB tier re-bucket when median bucket size crosses the comfortable
     task-input size (e.g. 64 → 4096 as the corpus grows 64×).
+
+    ``key_col`` is normally omitted — the manifest pins the bucketing key
+    and a mismatching explicit one raises.  It is REQUIRED for a
+    pre-key-pinning manifest holding data (guessing would silently re-key
+    the table); an emptied table re-buckets as a pure manifest commit and
+    never pins a caller-supplied key (nothing exists to validate it
+    against).
     """
     if new_n_buckets < 1:
         raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
