@@ -533,6 +533,9 @@ class SuggestService:
                 # a served dictionary is never empty under the service
                 # contract; refusing BEFORE the commit beats crashing on the
                 # re-read below with the new layout already half-applied.
+                # deliberately unconditional (even for a same-count no-op):
+                # a served dictionary must never be empty, so ANY maintenance
+                # call against one should surface the broken state loudly.
                 raise ValueError(
                     f"{name!r}'s dictionary sibling at {dict_path} is empty; "
                     "reload it before re-bucketing"

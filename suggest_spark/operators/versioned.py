@@ -541,10 +541,12 @@ def rebucket_versioned_bucketed_table(
 
     ``key_col`` is normally omitted — the manifest pins the bucketing key
     and a mismatching explicit one raises.  It is REQUIRED for a
-    pre-key-pinning manifest holding data (guessing would silently re-key
-    the table); an emptied table re-buckets as a pure manifest commit and
-    never pins a caller-supplied key (nothing exists to validate it
-    against).
+    pre-key-pinning manifest holding data — even on a same-count call that
+    would do no work: key problems (a wrong explicit key, or a missing one
+    on a keyless layout) fail the maintenance script's FIRST run, never
+    lying dormant behind a no-op until the count actually differs.  An
+    emptied table re-buckets as a pure manifest commit and never pins a
+    caller-supplied key (nothing exists to validate it against).
     """
     if new_n_buckets < 1:
         raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")

@@ -342,6 +342,10 @@ def test_rebucket_keyless_manifest_requires_explicit_key(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pass key_col explicitly"):
         rebucket_versioned_bucketed_table(spark, base, 8)
+    # ...including on a same-count call: a key-less maintenance script must
+    # fail its FIRST run, not hide behind the no-op until the count differs
+    with pytest.raises(ValueError, match="pass key_col explicitly"):
+        rebucket_versioned_bucketed_table(spark, base, 2)
     stats = rebucket_versioned_bucketed_table(spark, base, 8, key_col="term")
     assert stats["rebucketed"]
     m2 = read_manifest(spark, base)
@@ -437,4 +441,7 @@ def test_service_rebucket_refuses_empty_sibling(spark, tmp_path):
     before = read_manifest(spark, sib)
     with pytest.raises(ValueError, match="is empty"):
         svc.rebucket_dictionary("cars", 32)
+    # unconditional: even the same-count no-op surfaces the broken state
+    with pytest.raises(ValueError, match="is empty"):
+        svc.rebucket_dictionary("cars", before["n_buckets"])
     assert read_manifest(spark, sib) == before  # nothing committed
