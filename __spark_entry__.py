@@ -347,6 +347,71 @@ SELECT CAST(doc_id AS BIGINT), value
 FROM (VALUES {_upsert_values}) AS t(doc_id, value)
 """
 
+_REBUCKET_NEW = [(30, "rebucketed omega gear"), (100001, "post rebucket gadget")]
+_REBUCKET_DELETED = [40]
+
+
+def q_dict_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table re-layout under the value-hash gate (round-5:
+    operators/versioned.py::rebucket_versioned_bucketed_table — grow a
+    pinned n_buckets in one atomic manifest swap): build the doc_id<200
+    dictionary at 16 buckets, trickle-upsert it, RE-BUCKET 16 → 64, then
+    upsert AGAIN at the new count, and return the final on-disk table.  The
+    oracle rebuilds the twice-upserted dictionary from scratch, so a row
+    lost/duplicated by the re-layout, or a post-rebucket upsert landing in
+    a wrong bucket, hash-mismatches."""
+    import tempfile
+
+    from suggest_spark.operators.versioned import (
+        read_versioned_table,
+        rebucket_versioned_bucketed_table,
+        upsert_versioned_bucketed_table,
+        write_versioned_bucketed_table,
+    )
+
+    dictionary = _part_dictionary(spark, sf_dir).where(F.col("doc_id") < 200)
+    base = tempfile.mkdtemp(prefix="dict_rebucket_gate_") + "/dict"
+    write_versioned_bucketed_table(dictionary, base, n_buckets=16)
+    upsert_versioned_bucketed_table(
+        spark,
+        base,
+        spark.createDataFrame(_UPSERT_NEW, "doc_id long, value string"),
+        deleted_keys=spark.createDataFrame(
+            [(i,) for i in _UPSERT_DELETED], "doc_id long"
+        ),
+    )
+    stats = rebucket_versioned_bucketed_table(spark, base, 64)
+    assert stats["rebucketed"] and stats["n_buckets"] == 64
+    upsert_versioned_bucketed_table(
+        spark,
+        base,
+        spark.createDataFrame(_REBUCKET_NEW, "doc_id long, value string"),
+        deleted_keys=spark.createDataFrame(
+            [(i,) for i in _REBUCKET_DELETED], "doc_id long"
+        ),
+    )
+    return read_versioned_table(spark, base).select("doc_id", "value")
+
+
+_rebucket_values = ", ".join(f"({i}, '{v}')" for i, v in _REBUCKET_NEW)
+_rebucket_gone = ", ".join(
+    str(i)
+    for i in [i for i, _ in _UPSERT_NEW]
+    + _UPSERT_DELETED
+    + [i for i, _ in _REBUCKET_NEW]
+    + _REBUCKET_DELETED
+)
+SQL_DICT_REBUCKET = f"""
+SELECT p_partkey AS doc_id, p_name AS value FROM part
+WHERE p_partkey < 200 AND p_partkey NOT IN ({_rebucket_gone})
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), value
+FROM (VALUES {_upsert_values}) AS t(doc_id, value)
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), value
+FROM (VALUES {_rebucket_values}) AS t(doc_id, value)
+"""
+
 
 def q_selfjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity self-join (near-dup part names): the blocking+scoring
@@ -1293,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_index_build": q_index_build,
         "ngram_index_upsert": q_index_upsert,
         "dict_bucketed_upsert": q_dict_bucketed_upsert,
+        "dict_rebucket": q_dict_rebucket,
         "selfjoin_jaccard": q_selfjoin_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1338,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_index_build": SQL_INDEX_BUILD,
         "ngram_index_upsert": SQL_INDEX_UPSERT,
         "dict_bucketed_upsert": SQL_DICT_BUCKETED_UPSERT,
+        "dict_rebucket": SQL_DICT_REBUCKET,
         "selfjoin_jaccard": SQL_SELFJOIN_JACCARD,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
